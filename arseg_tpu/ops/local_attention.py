@@ -1,0 +1,94 @@
+"""CReFF local cross-attention ops, NHWC layout.
+
+TPU-native equivalent of the reference's CUDA `localAttention` extension
+(`f_similar` / `f_weighting`, /root/reference `model/attention.py:7-53`, CPU
+semantics documented by the unfold versions at `model/attention.py:55-85`):
+
+  similar:   w[n,y,x,o]  = sum_c q[n,y,x,c] * k[n, y+dy-kh//2, x+dx-kw//2, c]
+  weighting: out[n,y,x,c] = sum_o w[n,y,x,o] * v[n, y+dy-kh//2, x+dx-kw//2, c]
+
+with o = dy*kw + dx enumerated row-major and zero padding outside the image —
+note zero padding means out-of-bounds window positions contribute logit 0 (not
+-inf) to the softmax, exactly like nn.Unfold.
+
+Two implementations:
+  * `local_similar` / `local_weighting`: pure-jnp shifted-slice formulation
+    (the oracle; XLA fuses it reasonably well, used for autodiff backward).
+  * `creff_attention`: the fused similar->softmax->weighting composite. On TPU
+    it dispatches to the Pallas kernel (ops/pallas_creff.py) which never
+    materializes the [N,H,W,kh*kw] weight tensor in HBM; elsewhere it uses the
+    jnp path. Wrapped in custom_vjp: backward re-derives gradients from the
+    jnp composition (rematerialized, FLOPs are cheap relative to HBM traffic).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _offsets(kh, kw):
+    return [(dy, dx) for dy in range(kh) for dx in range(kw)]
+
+
+def _pad_hw(x, kh, kw):
+    ph, pw = kh // 2, kw // 2
+    return jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+
+
+def local_similar(q, k, kh: int, kw: int):
+    """q, k: [N,H,W,C] -> [N,H,W,kh*kw] neighborhood dot products."""
+    n, h, w, c = q.shape
+    kp = _pad_hw(k, kh, kw)
+    sims = [
+        jnp.sum(q * jax.lax.dynamic_slice(kp, (0, dy, dx, 0), (n, h, w, c)), axis=-1)
+        for dy, dx in _offsets(kh, kw)
+    ]
+    return jnp.stack(sims, axis=-1)
+
+
+def local_weighting(v, wgt, kh: int, kw: int):
+    """v: [N,H,W,C], wgt: [N,H,W,kh*kw] -> [N,H,W,C] weighted neighborhood sum."""
+    n, h, w, c = v.shape
+    vp = _pad_hw(v, kh, kw)
+    out = jnp.zeros_like(v)
+    for o, (dy, dx) in enumerate(_offsets(kh, kw)):
+        out = out + wgt[..., o : o + 1] * jax.lax.dynamic_slice(
+            vp, (0, dy, dx, 0), (n, h, w, c)
+        )
+    return out
+
+
+def _creff_reference(q, k, v, kh: int, kw: int):
+    wgt = jax.nn.softmax(local_similar(q, k, kh, kw), axis=-1)
+    return local_weighting(v, wgt, kh, kw)
+
+
+def _use_pallas():
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def creff_attention(q, k, v, kh: int, kw: int):
+    """Fused local cross-attention: softmax(similar(q,k)) weighted sum of v."""
+    if _use_pallas():
+        from arseg_tpu.ops.pallas_creff import creff_fused_pallas
+
+        return creff_fused_pallas(q, k, v, kh, kw)
+    return _creff_reference(q, k, v, kh, kw)
+
+
+def _creff_fwd(q, k, v, kh, kw):
+    return creff_attention(q, k, v, kh, kw), (q, k, v)
+
+
+def _creff_bwd(kh, kw, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _creff_reference(q_, k_, v_, kh, kw), q, k, v)
+    return vjp(g)
+
+
+creff_attention.defvjp(_creff_fwd, _creff_bwd)

@@ -1,0 +1,126 @@
+"""Exact-parity spatial resampling ops, NHWC layout.
+
+Every branch of the AR-Seg pipeline funnels through `F.interpolate` /
+`F.upsample` / adaptive pooling in the reference, in a mix of
+``align_corners`` modes (see /root/reference `evaluation.py:117,179`,
+`model/pspnet.py:29,45,96`, `model/bisenet.py:216,284,298`), so bit-level
+parity of these ops decides mIoU parity of the whole framework.
+
+TPU-first design: separable 1-D linear resampling is expressed as two small
+dense matmuls with constant interpolation matrices (rows have at most two
+non-zeros).  XLA folds the constants and the matmuls run on the MXU, which is
+far faster than gather-based resampling on TPU and is bit-exact with the
+PyTorch CPU/GPU kernels (same arithmetic: out = (1-w)*x0 + w*x1 per axis).
+"""
+
+from functools import lru_cache
+
+import numpy as np
+import jax.numpy as jnp
+
+
+@lru_cache(maxsize=None)
+def _linear_matrix(in_size: int, out_size: int, align_corners: bool):
+    """[out_size, in_size] row-stochastic interpolation matrix matching
+    torch.nn.functional.interpolate(mode='bilinear') along one axis."""
+    # torch computes source coordinates in float32 (opmath_t float on CPU and
+    # CUDA); replicate the same arithmetic for bit-parity of the weights.
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    i = np.arange(out_size, dtype=np.float32)
+    if align_corners:
+        if out_size == 1:
+            src = np.zeros_like(i)
+        else:
+            scale = np.float32(in_size - 1) / np.float32(out_size - 1)
+            src = i * scale
+    else:
+        scale = np.float32(in_size) / np.float32(out_size)
+        src = np.maximum((i + np.float32(0.5)) * scale - np.float32(0.5), np.float32(0))
+    x0 = np.floor(src).astype(np.int64)
+    w = (src - x0).astype(np.float32)
+    x0 = np.minimum(x0, in_size - 1)
+    x1 = np.minimum(x0 + 1, in_size - 1)
+    np.add.at(m, (np.arange(out_size), x0), 1.0 - w)
+    np.add.at(m, (np.arange(out_size), x1), w)
+    return m
+
+
+@lru_cache(maxsize=None)
+def _nearest_index(in_size: int, out_size: int):
+    """Index vector matching torch mode='nearest' along one axis."""
+    scale = np.float32(in_size) / np.float32(out_size)
+    idx = np.floor(np.arange(out_size, dtype=np.float32) * scale).astype(np.int64)
+    return np.minimum(idx, in_size - 1)
+
+
+@lru_cache(maxsize=None)
+def _adaptive_avg_matrix(in_size: int, out_size: int):
+    """[out_size, in_size] averaging matrix matching AdaptiveAvgPool along
+    one axis (start=floor(j*in/out), end=ceil((j+1)*in/out))."""
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    for j in range(out_size):
+        start = (j * in_size) // out_size
+        end = -((-(j + 1) * in_size) // out_size)  # ceil
+        m[j, start:end] = 1.0 / (end - start)
+    return m
+
+
+def _apply_hw_matrices(x, mh, mw):
+    """x: [..., H, W, C] -> [..., H', W', C] via per-axis matmuls."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    # precision='highest' keeps the interpolation matmuls in true fp32 on TPU
+    # (the MXU would otherwise use bf16 inputs and break bit-parity).
+    y = jnp.einsum("ph,...hwc->...pwc", jnp.asarray(mh), xf, precision="highest")
+    y = jnp.einsum("qw,...pwc->...pqc", jnp.asarray(mw), y, precision="highest")
+    return y.astype(dtype)
+
+
+def resize_bilinear(x, out_hw, align_corners: bool):
+    """Bilinear resize of NHWC (or [H,W,C] / any leading-batch) tensor,
+    matching torch F.interpolate(mode='bilinear', align_corners=...)."""
+    h, w = x.shape[-3], x.shape[-2]
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    if (h, w) == (oh, ow):
+        return x
+    return _apply_hw_matrices(
+        x, _linear_matrix(h, oh, align_corners), _linear_matrix(w, ow, align_corners)
+    )
+
+
+def resize_nearest(x, out_hw):
+    """Nearest resize of [..., H, W, C], matching torch mode='nearest'."""
+    h, w = x.shape[-3], x.shape[-2]
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    if (h, w) == (oh, ow):
+        return x
+    y = jnp.take(x, jnp.asarray(_nearest_index(h, oh)), axis=-3)
+    y = jnp.take(y, jnp.asarray(_nearest_index(w, ow)), axis=-2)
+    return y
+
+
+def adaptive_avg_pool(x, out_hw):
+    """AdaptiveAvgPool2d parity on [..., H, W, C]."""
+    h, w = x.shape[-3], x.shape[-2]
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    return _apply_hw_matrices(
+        x, _adaptive_avg_matrix(h, oh), _adaptive_avg_matrix(w, ow)
+    )
+
+
+def adaptive_max_pool_11(x):
+    """AdaptiveMaxPool2d((1,1)) + flatten: [..., H, W, C] -> [..., C]."""
+    return jnp.max(x, axis=(-3, -2))
+
+
+def pixel_shuffle(x, r: int):
+    """torch.nn.PixelShuffle parity in NHWC.
+
+    Torch (NCHW): out[n, c, h*r+i, w*r+j] = in[n, c*r*r + i*r + j, h, w].
+    Here channels of NHWC follow the same ordering as the torch channel dim.
+    """
+    n, h, w, c = x.shape
+    co = c // (r * r)
+    y = x.reshape(n, h, w, co, r, r)
+    y = y.transpose(0, 1, 4, 2, 5, 3)
+    return y.reshape(n, h * r, w * r, co)

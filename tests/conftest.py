@@ -1,0 +1,11 @@
+"""Test config: force CPU JAX with 8 virtual devices so multi-chip sharding
+(mesh/pjit/shard_map paths) is exercised without TPU hardware."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()

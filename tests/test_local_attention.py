@@ -1,0 +1,107 @@
+"""Parity of the CReFF local-attention ops vs an nn.Unfold torch oracle
+(semantics documented at reference model/attention.py:55-85)."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import jax
+import jax.numpy as jnp
+
+from arseg_tpu.ops import local_similar, local_weighting, creff_attention
+from arseg_tpu.ops.pallas_creff import creff_fused_pallas
+
+
+def _torch_similar(query, key, kh, kw):
+    """out[n,h,w,o] = sum_c q[n,c,h,w] * unfold(k)[n,c,o,h,w]."""
+    n, c, h, w = query.shape
+    unfold = nn.Unfold(kernel_size=(kh, kw), padding=(kh // 2, kw // 2))
+    key_uf = unfold(key).view(n, c, kh * kw, h, w)
+    return torch.einsum("nchw,ncohw->nhwo", query, key_uf)
+
+
+def _torch_weighting(value, weight, kh, kw):
+    """out[n,c,h,w] = sum_o unfold(v)[n,c,o,h,w] * w[n,h,w,o]."""
+    n, c, h, w = value.shape
+    unfold = nn.Unfold(kernel_size=(kh, kw), padding=(kh // 2, kw // 2))
+    value_uf = unfold(value).view(n, c, kh * kw, h, w)
+    return torch.einsum("ncohw,nhwo->nchw", value_uf, weight)
+
+
+def _nchw(x):
+    return torch.from_numpy(np.asarray(x)).permute(0, 3, 1, 2)
+
+
+@pytest.mark.parametrize("kh,kw", [(7, 7), (3, 3), (5, 3)])
+def test_local_similar(kh, kw):
+    rng = np.random.RandomState(0)
+    q = rng.randn(2, 10, 13, 6).astype(np.float32)
+    k = rng.randn(2, 10, 13, 6).astype(np.float32)
+    ref = _torch_similar(_nchw(q), _nchw(k), kh, kw).numpy()
+    got = local_similar(jnp.asarray(q), jnp.asarray(k), kh, kw)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("kh,kw", [(7, 7), (3, 3)])
+def test_local_weighting(kh, kw):
+    rng = np.random.RandomState(1)
+    v = rng.randn(2, 10, 13, 6).astype(np.float32)
+    w = rng.rand(2, 10, 13, kh * kw).astype(np.float32)
+    ref = _torch_weighting(_nchw(v), torch.from_numpy(w), kh, kw)
+    got = local_weighting(jnp.asarray(v), jnp.asarray(w), kh, kw)
+    np.testing.assert_allclose(
+        np.asarray(got), ref.permute(0, 2, 3, 1).numpy(), rtol=1e-5, atol=1e-5
+    )
+
+
+def _torch_creff(q, k, v, kh, kw):
+    w = torch.softmax(_torch_similar(q, k, kh, kw), dim=3)
+    return _torch_weighting(v, w, kh, kw)
+
+
+def test_creff_attention_fused_reference_path():
+    rng = np.random.RandomState(2)
+    q = rng.randn(1, 12, 15, 8).astype(np.float32)
+    k = rng.randn(1, 12, 15, 8).astype(np.float32)
+    v = rng.randn(1, 12, 15, 8).astype(np.float32)
+    ref = _torch_creff(_nchw(q), _nchw(k), _nchw(v), 7, 7)
+    got = creff_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 7, 7)
+    np.testing.assert_allclose(
+        np.asarray(got), ref.permute(0, 2, 3, 1).numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_creff_pallas_interpret_matches_oracle():
+    rng = np.random.RandomState(3)
+    # non-multiple-of-tile shapes to exercise the padding path
+    q = rng.randn(2, 18, 21, 8).astype(np.float32)
+    k = rng.randn(2, 18, 21, 8).astype(np.float32)
+    v = rng.randn(2, 18, 21, 8).astype(np.float32)
+    ref = _torch_creff(_nchw(q), _nchw(k), _nchw(v), 7, 7)
+    got = creff_fused_pallas(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 7, 7, True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), ref.permute(0, 2, 3, 1).numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_creff_gradients_match_torch():
+    rng = np.random.RandomState(4)
+    qn = rng.randn(1, 9, 10, 4).astype(np.float32)
+    kn = rng.randn(1, 9, 10, 4).astype(np.float32)
+    vn = rng.randn(1, 9, 10, 4).astype(np.float32)
+
+    tq, tk, tv = (_nchw(a).requires_grad_(True) for a in (qn, kn, vn))
+    _torch_creff(tq, tk, tv, 3, 3).sum().backward()
+
+    def loss(q, k, v):
+        return jnp.sum(creff_attention(q, k, v, 3, 3))
+
+    gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(
+        jnp.asarray(qn), jnp.asarray(kn), jnp.asarray(vn)
+    )
+    for got, ref in ((gq, tq.grad), (gk, tk.grad), (gv, tv.grad)):
+        np.testing.assert_allclose(
+            np.asarray(got), ref.permute(0, 2, 3, 1).numpy(), rtol=1e-4, atol=1e-4
+        )

@@ -1,0 +1,83 @@
+"""Parity of grid_sample / warp_feature vs torch (reference evaluation.py:61-87)."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+import jax.numpy as jnp
+
+from arseg_tpu.ops import grid_sample, warp_feature, scale_and_resize_flow
+
+
+def _nchw(x):
+    return torch.from_numpy(np.asarray(x)).permute(0, 3, 1, 2)
+
+
+def _nhwc(t):
+    return t.permute(0, 2, 3, 1).numpy()
+
+
+def _torch_warp_feature(feature_nchw, flow_nhwc):
+    """Independent re-statement of the reference warpFeature math using torch."""
+    b, c, h, w = feature_nchw.shape
+    flow = torch.from_numpy(flow_nhwc).permute(0, 3, 1, 2).float()
+    xx = torch.arange(w).view(1, -1).repeat(h, 1).view(1, 1, h, w).repeat(b, 1, 1, 1)
+    yy = torch.arange(h).view(-1, 1).repeat(1, w).view(1, 1, h, w).repeat(b, 1, 1, 1)
+    vgrid = torch.cat((xx, yy), 1).float() + flow
+    vgrid[:, 0] = 2.0 * vgrid[:, 0] / max(w - 1, 1) - 1.0
+    vgrid[:, 1] = 2.0 * vgrid[:, 1] / max(h - 1, 1) - 1.0
+    return F.grid_sample(
+        feature_nchw, vgrid.permute(0, 2, 3, 1), align_corners=False
+    )
+
+
+@pytest.mark.parametrize("align_corners", [False, True])
+def test_grid_sample(align_corners):
+    rng = np.random.RandomState(0)
+    feat = rng.randn(2, 12, 17, 5).astype(np.float32)
+    grid = rng.uniform(-1.3, 1.3, size=(2, 9, 11, 2)).astype(np.float32)
+    ref = F.grid_sample(
+        _nchw(feat),
+        torch.from_numpy(grid),
+        mode="bilinear",
+        padding_mode="zeros",
+        align_corners=align_corners,
+    )
+    got = grid_sample(jnp.asarray(feat), jnp.asarray(grid), align_corners=align_corners)
+    np.testing.assert_allclose(np.asarray(got), _nhwc(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_warp_feature_matches_reference_math():
+    rng = np.random.RandomState(1)
+    feat = rng.randn(1, 20, 30, 6).astype(np.float32)
+    flow = rng.uniform(-4, 4, size=(1, 20, 30, 2)).astype(np.float32)
+    ref = _torch_warp_feature(_nchw(feat), flow)
+    got = warp_feature(jnp.asarray(feat), jnp.asarray(flow))
+    np.testing.assert_allclose(np.asarray(got), _nhwc(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_flow_resize_eval_mode():
+    """Eval path: magnitude scale then bilinear align_corners=True resize
+    (reference evaluation.py:177-180, NCHW transposed dance)."""
+    rng = np.random.RandomState(2)
+    flow = rng.uniform(-10, 10, size=(1, 24, 32, 2)).astype(np.float32)
+    feat_hw = (12, 16)
+    t = torch.from_numpy(flow).permute(0, 3, 1, 2)
+    t = t * feat_hw[0] / t.shape[-2]
+    t = F.interpolate(t, feat_hw, mode="bilinear", align_corners=True)
+    ref = t.permute(0, 2, 3, 1).numpy()
+    got = scale_and_resize_flow(jnp.asarray(flow), feat_hw, mode="bilinear")
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_flow_resize_train_mode():
+    """Train path: nearest resize (reference train_pair.py:345-348)."""
+    rng = np.random.RandomState(3)
+    flow = rng.uniform(-10, 10, size=(1, 24, 32, 2)).astype(np.float32)
+    feat_hw = (12, 16)
+    t = torch.from_numpy(flow).permute(0, 3, 1, 2)
+    t = t * feat_hw[0] / t.shape[-2]
+    t = F.interpolate(t, feat_hw, mode="nearest")
+    ref = t.permute(0, 2, 3, 1).numpy()
+    got = scale_and_resize_flow(jnp.asarray(flow), feat_hw, mode="nearest")
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-5)

@@ -1,0 +1,154 @@
+"""Functional NN primitives, NHWC layout, torch-parity semantics.
+
+Parameter convention (mirrors the torch module tree of the reference so the
+checkpoint converter is a mechanical transpose):
+
+  conv:   {"weight": [kh, kw, in/groups, out], "bias": [out]?}
+  bn:     {"weight": [c], "bias": [c], "running_mean": [c], "running_var": [c]}
+  linear: {"weight": [in, out], "bias": [out]}
+
+BatchNorm running-statistics updates during training are collected through
+`Ctx` (path -> (batch_mean, batch_var_unbiased)) and folded back into the
+param tree by the train step (`apply_bn_updates`), keeping apply functions
+pure.
+"""
+
+import jax
+import jax.numpy as jnp
+
+BN_EPS = 1e-5
+BN_MOMENTUM = 0.1
+
+
+class Ctx:
+    """Per-apply context: train flag, dropout RNG stream, BN stat updates."""
+
+    def __init__(self, train: bool = False, rng=None):
+        self.train = train
+        self._rng = rng
+        self.bn_updates = {}
+
+    def next_rng(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+
+def conv2d(p, x, stride=1, padding=0, dilation=1, groups=1):
+    """NHWC conv with torch Conv2d semantics. weight: [kh,kw,in/groups,out]."""
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    if isinstance(dilation, int):
+        dilation = (dilation, dilation)
+    out = jax.lax.conv_general_dilated(
+        x,
+        p["weight"].astype(x.dtype),
+        window_strides=stride,
+        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+        rhs_dilation=dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        precision="highest",
+    )
+    if "bias" in p and p["bias"] is not None:
+        out = out + p["bias"].astype(x.dtype)
+    return out
+
+
+def batch_norm(p, x, ctx: Ctx, path: str = ""):
+    """BatchNorm2d (or 1d on [N,C]) with torch semantics.
+
+    Eval: running stats. Train: biased batch stats for normalization; the
+    unbiased batch stats are recorded in ctx.bn_updates for the momentum
+    update of the running stats (torch behavior)."""
+    axes = tuple(range(x.ndim - 1))
+    if ctx.train:
+        mean = jnp.mean(x, axis=axes)
+        var = jnp.var(x, axis=axes)
+        n = 1
+        for a in axes:
+            n *= x.shape[a]
+        unbiased = var * (n / max(n - 1, 1))
+        ctx.bn_updates[path] = (mean, unbiased)
+    else:
+        mean = p["running_mean"]
+        var = p["running_var"]
+    inv = jax.lax.rsqrt(var.astype(jnp.float32) + BN_EPS)
+    out = (x - mean.astype(x.dtype)) * (inv.astype(x.dtype))
+    return out * p["weight"].astype(x.dtype) + p["bias"].astype(x.dtype)
+
+
+def apply_bn_updates(params, updates, momentum: float = BN_MOMENTUM):
+    """Fold ctx.bn_updates back into the param tree (running-stat momentum)."""
+    params = dict(params)  # shallow copies along each touched path
+
+    def set_path(tree, keys, mean, var):
+        k = keys[0]
+        if len(keys) == 1:
+            node = dict(tree[k])
+            node["running_mean"] = (1 - momentum) * node["running_mean"] + momentum * mean
+            node["running_var"] = (1 - momentum) * node["running_var"] + momentum * var
+            tree[k] = node
+        else:
+            sub = dict(tree[k])
+            set_path(sub, keys[1:], mean, var)
+            tree[k] = sub
+
+    for path, (mean, var) in updates.items():
+        set_path(params, path.split("."), mean, var)
+    return params
+
+
+def linear(p, x):
+    return (
+        jnp.einsum("...i,io->...o", x, p["weight"].astype(x.dtype), precision="highest")
+        + p["bias"].astype(x.dtype)
+    )
+
+
+def relu(x):
+    return jnp.maximum(x, 0)
+
+
+def prelu(p, x):
+    """torch PReLU (single shared slope parameter 'weight': [1])."""
+    a = p["weight"].astype(x.dtype)
+    return jnp.where(x >= 0, x, a * x)
+
+
+def sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+def log_softmax(x, axis=-1):
+    return jax.nn.log_softmax(x, axis=axis)
+
+
+def max_pool_3x3_s2_p1(x):
+    """torch MaxPool2d(kernel_size=3, stride=2, padding=1) on NHWC."""
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, 3, 3, 1),
+        window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+
+
+def dropout2d(x, p: float, ctx: Ctx):
+    """Channel-wise dropout (torch Dropout2d): zero whole channels, scale."""
+    if not ctx.train or p == 0.0:
+        return x
+    keep = 1.0 - p
+    mask = jax.random.bernoulli(ctx.next_rng(), keep, (x.shape[0], 1, 1, x.shape[-1]))
+    return x * mask.astype(x.dtype) / keep
+
+
+def dropout(x, p: float, ctx: Ctx):
+    if not ctx.train or p == 0.0:
+        return x
+    keep = 1.0 - p
+    mask = jax.random.bernoulli(ctx.next_rng(), keep, x.shape)
+    return x * mask.astype(x.dtype) / keep

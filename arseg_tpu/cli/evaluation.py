@@ -1,0 +1,44 @@
+"""Evaluation CLI, mirroring the reference flag surface
+(/root/reference `evaluation.py:221-234`):
+
+  python -m arseg_tpu.cli.evaluation --dataset camvid --backbone psp18 \
+      --mode 1 0 1 --GOP 12 --test_scale 0.5 \
+      --data_root ./data --ckpt_root ./checkpoints --result_dir ./evaluation-result
+"""
+
+import argparse
+
+from arseg_tpu.eval.protocol import run_protocol
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Evaluation.")
+    parser.add_argument("--mode", type=int, nargs="+", default=[1, 1, 1],
+                        help="Eval or not with HR / LR / AR")
+    parser.add_argument("--result_dir", type=str, default="./evaluation-result")
+    parser.add_argument("--ckpt_root", type=str, default="./checkpoints")
+    parser.add_argument("--data_root", type=str, default="./data")
+    parser.add_argument("--dataset", type=str, default="camvid")
+    parser.add_argument("--backbone", type=str, default="psp18")
+    parser.add_argument("--GOP", type=int, default=12, help="GOP size")
+    parser.add_argument("--test_scale", type=float, default=0.5)
+    parser.add_argument("--batch_size", type=int, default=1)
+    parser.add_argument("--num_workers", type=int, default=4)
+    args = parser.parse_args(argv)
+
+    run_protocol(
+        dataset=args.dataset,
+        backbone=args.backbone,
+        mode=tuple(args.mode),
+        gop=args.GOP,
+        test_scale=args.test_scale,
+        data_root=args.data_root,
+        ckpt_root=args.ckpt_root,
+        result_dir=args.result_dir,
+        batch_size=args.batch_size,
+        num_workers=args.num_workers,
+    )
+
+
+if __name__ == "__main__":
+    main()

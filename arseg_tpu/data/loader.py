@@ -1,0 +1,109 @@
+"""Host-side batching + prefetching loader (DataLoader replacement).
+
+TPU-first: the loader overlaps PIL/cv2 decode with device compute via a
+thread pool and a bounded prefetch queue; the train step consumes numpy
+batches and performs a single device_put (double-buffered by JAX's async
+dispatch). Threads (not processes) suffice because decode is
+PIL/cv2/numpy-bound and releases the GIL.
+"""
+
+import queue
+import random
+import threading
+
+import numpy as np
+
+
+def _stack(samples):
+    out = {}
+    for k in samples[0]:
+        out[k] = np.stack([s[k] for s in samples])
+    return out
+
+
+class Loader:
+    def __init__(
+        self,
+        dataset,
+        batch_size=1,
+        shuffle=False,
+        num_workers=4,
+        drop_last=False,
+        seed=None,
+        prefetch=4,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.rng = random.Random(seed)
+        self.prefetch = prefetch
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _batches(self):
+        idx = list(range(len(self.dataset)))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        for i in range(0, len(idx), self.batch_size):
+            chunk = idx[i : i + self.batch_size]
+            if len(chunk) < self.batch_size and self.drop_last:
+                return
+            yield chunk
+
+    def __iter__(self):
+        batches = list(self._batches())
+        out_q = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        # Each batch is fetched by one worker (keeps sample order inside a
+        # batch deterministic); batches are emitted strictly in order.
+        results = {}
+        results_lock = threading.Condition()
+        next_emit = [0]
+
+        def worker(worker_id):
+            for bi in range(worker_id, len(batches), self.num_workers):
+                if stop.is_set():
+                    return
+                try:
+                    batch = _stack([self.dataset[i] for i in batches[bi]])
+                except Exception as e:  # surface in consumer
+                    batch = e
+                with results_lock:
+                    results[bi] = batch
+                    results_lock.notify_all()
+
+        threads = [
+            threading.Thread(target=worker, args=(w,), daemon=True)
+            for w in range(self.num_workers)
+        ]
+        for t in threads:
+            t.start()
+
+        def emitter():
+            for bi in range(len(batches)):
+                with results_lock:
+                    while bi not in results:
+                        results_lock.wait()
+                    item = results.pop(bi)
+                out_q.put(item)
+            out_q.put(None)
+
+        threading.Thread(target=emitter, daemon=True).start()
+
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()

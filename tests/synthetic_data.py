@@ -1,0 +1,56 @@
+"""Synthetic compressed-GOP fixtures: a tiny CamVid-shaped directory tree
+(decoded frames + keyframes + MV bins) for end-to-end pipeline tests without
+the real datasets."""
+
+import os
+
+import numpy as np
+from PIL import Image
+
+SEQ = "0001TP"
+# dataset idx 6690 maps to decoded idx 31 (scene_length_info)
+DATASET_IDXS = [6690, 6720, 6750]
+H, W = 96, 128  # test-size frames
+FLOW_SHAPE = (48, 64, 2)
+
+
+def _png(path, arr):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray(arr).save(path)
+
+
+def make_camvid_tree(root, gop=4, bitrate="3M", seed=0, n_classes=12):
+    """Build {root}/camvid-sequence/{bitrate}-GOP{gop}/... for all ref_gaps
+    plus labels, mirroring the preprocessing layout
+    (pre-process/generate_compressed_dataset_camvid.py, README.md:61-81)."""
+    rng = np.random.RandomState(seed)
+    seq_root = os.path.join(root, "camvid-sequence", f"{bitrate}-GOP{gop}")
+
+    frames = {}
+    for d_idx in DATASET_IDXS:
+        dec_idx = d_idx - 6690 + 31
+        for back in range(gop):
+            frames[dec_idx - back] = rng.randint(0, 255, (H, W, 3), np.uint8)
+
+    for ref_gap in range(1, gop + 1):
+        dist = ref_gap - 1
+        dec_dir = os.path.join(seq_root, f"decoded_GOP{gop}_dist_{dist}")
+        mv_dir = os.path.join(seq_root, f"MVmap_GOP{gop}_dist_{dist}", SEQ)
+        for d_idx in DATASET_IDXS:
+            name = f"{SEQ}_{d_idx:06d}"
+            img = frames[d_idx - 6690 + 31]
+            _png(os.path.join(dec_dir, "test", f"{name}.png"), img)
+            label = rng.randint(0, n_classes, (H, W)).astype(np.uint8)
+            label[0, 0] = 255  # exercise ignore_label
+            _png(
+                os.path.join(dec_dir, "test_labels_with_ignored", f"{name}.png"), label
+            )
+            if dist > 0:
+                flow = rng.randint(-8, 8, FLOW_SHAPE).astype(np.int16)
+                os.makedirs(mv_dir, exist_ok=True)
+                flow.tofile(os.path.join(mv_dir, f"{name}.bin"))
+
+    frame_dir = os.path.join(seq_root, "frames", SEQ)
+    for dec_idx, img in frames.items():
+        _png(os.path.join(frame_dir, f"{SEQ}_{dec_idx:06d}.png"), img)
+    return seq_root

@@ -1,0 +1,113 @@
+"""End-to-end mIoU_d protocol on a synthetic GOP tree + metrics parity."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import torch
+
+from synthetic_data import make_camvid_tree, FLOW_SHAPE
+from arseg_tpu.eval.metrics import confusion_update, miou_from_hist
+from arseg_tpu.eval.protocol import run_protocol
+from arseg_tpu.models import build_model
+from arseg_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
+import jax
+
+
+def test_confusion_matches_torch_bincount():
+    rng = np.random.RandomState(0)
+    n = 5
+    label = rng.randint(0, n, (2, 13, 17)).astype(np.int32)
+    label[0, 0, :5] = 255
+    pred = rng.randint(0, n, (2, 13, 17)).astype(np.int32)
+
+    tl, tp = torch.from_numpy(label).long(), torch.from_numpy(pred).long()
+    keep = tl != 255
+    ref = torch.bincount(tl[keep] * n + tp[keep], minlength=n * n).view(n, n).float()
+
+    hist = confusion_update(
+        jnp.zeros((n, n), jnp.float32), jnp.asarray(label), jnp.asarray(pred), n
+    )
+    np.testing.assert_array_equal(np.asarray(hist), ref.numpy())
+
+    ious = ref.diag() / (ref.sum(0) + ref.sum(1) - ref.diag())
+    np.testing.assert_allclose(
+        float(miou_from_hist(hist)), ious.mean().item(), rtol=1e-6
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = build_model("camvid-psp18", fuse=False)
+    params = model.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, params, metadata={"scale": 1.0, "epoch": 3})
+    out = load_checkpoint(path)
+    assert out["metadata"]["epoch"] == 3
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(out["params"])
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_protocol_camvid_end_to_end(tmp_path):
+    """Full HR+AR+LR protocol over a synthetic GOP tree with random weights:
+    exercises dataset crawl, keyframe/MV lookup, engines, and txt output."""
+    gop = 3
+    make_camvid_tree(str(tmp_path / "data"), gop=gop)
+
+    ck_root = tmp_path / "ckpt"
+    hr_dir = ck_root / "camvid-psp18" / "HR"
+    ar_dir = ck_root / "camvid-psp18" / "AR"
+    lr_dir = ck_root / "camvid-psp18" / "LR"
+    for d in (hr_dir, ar_dir, lr_dir):
+        os.makedirs(d)
+
+    plain = build_model("camvid-psp18", fuse=False)
+    fuse = build_model("camvid-psp18", fuse=True)
+    save_checkpoint(
+        str(hr_dir / "PSPNet_resnet18_1.0_1_.npz"),
+        plain.init(jax.random.PRNGKey(0)),
+        {"scale": 1.0},
+    )
+    save_checkpoint(
+        str(ar_dir / "PSPNet_resnet18_0.5_1_.npz"),
+        fuse.init(jax.random.PRNGKey(1)),
+        {"scale": 0.5},
+    )
+    save_checkpoint(
+        str(lr_dir / "PSPNet_resnet18_0.5_2_.npz"),
+        fuse.init(jax.random.PRNGKey(2)),
+        {"scale": 0.5},
+    )
+
+    results = run_protocol(
+        dataset="camvid",
+        backbone="psp18",
+        mode=(1, 1, 1),
+        gop=gop,
+        test_scale=0.5,
+        data_root=str(tmp_path / "data"),
+        ckpt_root=str(ck_root),
+        result_dir=str(tmp_path / "results"),
+        num_workers=2,
+        verbose=False,
+        flow_shape=FLOW_SHAPE,
+    )
+
+    for mode_key, fname in [
+        ("HR", "camvid-psp18-1.0x-resolution-exp-GOP3-3M-evaluation.txt"),
+        ("AR", "camvid-psp18-AR-0.5x-resolution-exp-GOP3-3M-evaluation.txt"),
+        ("LR", "camvid-psp18-0.5x-resolution-exp-GOP3-3M-evaluation.txt"),
+    ]:
+        vals = np.loadtxt(str(tmp_path / "results" / fname))
+        assert vals.shape == (gop + 1,)
+        np.testing.assert_allclose(vals[-1], np.mean(vals[:-1]), rtol=1e-6)
+        assert np.all(vals >= 0) and np.all(vals <= 1)
+        assert results[mode_key][-1] == pytest.approx(vals[-1], rel=1e-6)
+    # AR distance-0 equals HR distance-0 by construction (evaluation.py:332-337)
+    hr = np.loadtxt(str(tmp_path / "results" / "camvid-psp18-1.0x-resolution-exp-GOP3-3M-evaluation.txt"))
+    ar = np.loadtxt(str(tmp_path / "results" / "camvid-psp18-AR-0.5x-resolution-exp-GOP3-3M-evaluation.txt"))
+    assert hr[0] == pytest.approx(ar[0], rel=1e-6)

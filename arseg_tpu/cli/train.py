@@ -1,0 +1,49 @@
+"""Phase-1 training CLI (flag surface of reference `train.py:61-75`, plus
+--teacher_snapshot replacing the hard-coded teacher dir at `train.py:176-177`).
+"""
+
+import argparse
+
+from arseg_tpu.train.trainer import train_phase1
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Phase-1 (HR / plain LR) training.")
+    p.add_argument("--data-path", required=True)
+    p.add_argument("--models-path", required=True)
+    p.add_argument("--backend", default="resnet34")
+    p.add_argument("--snapshot", default=None)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--alpha", type=float, default=1.0)
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--start-lr", type=float, default=0.001)
+    p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--feat_loss", default=None)
+    p.add_argument("--dataset", default="camvid")
+    p.add_argument("--model_type", default="pspnet")
+    p.add_argument("--teacher_snapshot", default=None)
+    p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--seed", type=int, default=233)
+    args = p.parse_args(argv)
+
+    train_phase1(
+        data_path=args.data_path,
+        models_path=args.models_path,
+        backend=args.backend,
+        snapshot=args.snapshot,
+        batch_size=args.batch_size,
+        alpha=args.alpha,
+        epochs=args.epochs,
+        start_lr=args.start_lr,
+        scale=args.scale,
+        feat_loss=args.feat_loss,
+        dataset=args.dataset,
+        model_type=args.model_type,
+        teacher_snapshot=args.teacher_snapshot,
+        num_devices=args.num_devices,
+        seed=args.seed,
+    )
+
+
+if __name__ == "__main__":
+    main()

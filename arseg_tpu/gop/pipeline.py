@@ -1,0 +1,119 @@
+"""GOP-structured AR inference pipeline — the framework's own "pipeline
+parallelism" axis (SURVEY.md §5): one HR pass on the keyframe amortized over
+the GOP's remaining frames.
+
+TPU-first redesign of the reference's eval loop (`evaluation.py:154-215`,
+which runs batch-1 frame-at-a-time): here the whole GOP is one jitted
+program —
+
+  1. HR branch on the keyframe (once),
+  2. the keyframe feature is broadcast and MV-warped to all G-1 non-key
+     frames in a single batched gather,
+  3. the LR branch + CReFF fusion run BATCHED over the G-1 frames, so the
+     backbone convs hit the MXU with batch G-1 instead of 1 and the fused
+     Pallas CReFF kernel processes all frames in one launch.
+
+Host-side decode/MV-read overlaps device compute through the prefetching
+loader + JAX async dispatch: step N+1's inputs are being assembled while
+step N runs.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from arseg_tpu.ops import resize_bilinear, warp_feature, scale_and_resize_flow
+
+
+def _as_tuple(x):
+    return x if isinstance(x, tuple) else (x,)
+
+
+class ARPipeline:
+    """Batched AR inference over one GOP.
+
+    hr_model/lr_model: registry models (lr_model built with fuse=True).
+    scale: LR branch resolution scale. Predictions are argmax class maps at
+    full input resolution for all GOP frames (keyframe via the HR branch).
+    """
+
+    def __init__(self, hr_model, lr_model, scale=0.5, dtype=jnp.float32, lr_chunk=1):
+        self.hr_model = hr_model
+        self.lr_model = lr_model
+        self.scale = scale
+        self.dtype = dtype
+        # CReFF runs at HR feature resolution, so a fully-batched GOP at
+        # 720x960x64 fp32 needs ~29 GB of HBM (measured) — far over a v5e
+        # chip's 16 GB. lax.map over fixed chunks serializes chunk execution
+        # (bounding live memory at chunk size) while keeping per-chunk
+        # compute batched on the MXU.
+        self.lr_chunk = lr_chunk
+        self._step = jax.jit(self._gop_step)
+
+    def _lr_branch(self, lr_params, frames, flows, ref_feat):
+        """LR branch for a batch of frames: resize -> phase1 -> warp -> CReFF."""
+        n, h, w, _ = frames.shape
+        f = scale_and_resize_flow(flows, ref_feat.shape[1:3], mode="bilinear")
+        ref_rep = jnp.broadcast_to(ref_feat, (n,) + ref_feat.shape[1:])
+        warped = warp_feature(ref_rep, f)
+        x = resize_bilinear(frames, (int(h * self.scale), int(w * self.scale)),
+                            align_corners=True)
+        feat = _as_tuple(self.lr_model.forward_phase1(lr_params, x))[-1]
+        out, _ = self.lr_model.forward_phase2(lr_params, feat, warped)
+        out = resize_bilinear(out, (h, w), align_corners=True)
+        return jnp.argmax(out, axis=-1)
+
+    def _gop_step(self, hr_params, lr_params, keyframe, frames, flows):
+        """keyframe [1,H,W,3]; frames [G-1,H,W,3]; flows [G-1,Hf,Wf,2]."""
+        g1, h, w, _ = frames.shape
+
+        hr_out = _as_tuple(self.hr_model.apply(hr_params, keyframe))
+        key_logits = hr_out[0]
+        ref_feat = hr_out[-1]  # [1, h_f, w_f, C]
+
+        c = min(self.lr_chunk, g1)
+        pad = (-g1) % c
+        frames_p = jnp.pad(frames, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        flows_p = jnp.pad(flows, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        frames_c = frames_p.reshape(-1, c, *frames.shape[1:])
+        flows_c = flows_p.reshape(-1, c, *flows.shape[1:])
+
+        preds = jax.lax.map(
+            lambda args: self._lr_branch(lr_params, args[0], args[1], ref_feat),
+            (frames_c, flows_c),
+        )
+        preds = preds.reshape(-1, h, w)[:g1]
+
+        key_logits = resize_bilinear(key_logits, (h, w), align_corners=True)
+        preds = jnp.concatenate([jnp.argmax(key_logits, axis=-1), preds], axis=0)
+        return preds.astype(jnp.int32)
+
+    def __call__(self, hr_params, lr_params, keyframe, frames, flows):
+        return self._step(hr_params, lr_params, keyframe, frames, flows)
+
+    def streaming_step(self):
+        """Frame-at-a-time variant (latency mode): returns jitted fns
+        (key_step, frame_step) with the keyframe feature threaded as state,
+        mirroring the reference's per-frame loop but keeping the feature
+        cached in HBM across the GOP."""
+
+        @jax.jit
+        def key_step(hr_params, keyframe):
+            out = _as_tuple(self.hr_model.apply(hr_params, keyframe))
+            logits = resize_bilinear(out[0], keyframe.shape[1:3], align_corners=True)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32), out[-1]
+
+        @jax.jit
+        def frame_step(lr_params, ref_feat, frame, flow):
+            f = scale_and_resize_flow(flow, ref_feat.shape[1:3], mode="bilinear")
+            warped = warp_feature(ref_feat, f)
+            h, w = frame.shape[1:3]
+            x = resize_bilinear(frame, (int(h * self.scale), int(w * self.scale)),
+                                align_corners=True)
+            feat = _as_tuple(self.lr_model.forward_phase1(lr_params, x))[-1]
+            out, _ = self.lr_model.forward_phase2(lr_params, feat, warped)
+            out = resize_bilinear(out, (h, w), align_corners=True)
+            return jnp.argmax(out, axis=-1).astype(jnp.int32)
+
+        return key_step, frame_step

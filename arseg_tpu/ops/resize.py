@@ -20,12 +20,10 @@ import jax.numpy as jnp
 
 
 @lru_cache(maxsize=None)
-def _linear_matrix(in_size: int, out_size: int, align_corners: bool):
-    """[out_size, in_size] row-stochastic interpolation matrix matching
-    torch.nn.functional.interpolate(mode='bilinear') along one axis."""
-    # torch computes source coordinates in float32 (opmath_t float on CPU and
-    # CUDA); replicate the same arithmetic for bit-parity of the weights.
-    m = np.zeros((out_size, in_size), dtype=np.float32)
+def _linear_gather(in_size: int, out_size: int, align_corners: bool):
+    """(i0, i1, w) per output index for 1-D linear resampling, bit-matching
+    torch.nn.functional.interpolate(mode='bilinear') — torch computes source
+    coordinates in float32 (opmath_t float on CPU and CUDA)."""
     i = np.arange(out_size, dtype=np.float32)
     if align_corners:
         if out_size == 1:
@@ -40,6 +38,15 @@ def _linear_matrix(in_size: int, out_size: int, align_corners: bool):
     w = (src - x0).astype(np.float32)
     x0 = np.minimum(x0, in_size - 1)
     x1 = np.minimum(x0 + 1, in_size - 1)
+    return x0, x1, w
+
+
+@lru_cache(maxsize=None)
+def _linear_matrix(in_size: int, out_size: int, align_corners: bool):
+    """[out_size, in_size] row-stochastic interpolation matrix (used for the
+    tiny pyramid-pool resizes where a matmul beats gathers)."""
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    x0, x1, w = _linear_gather(in_size, out_size, align_corners)
     np.add.at(m, (np.arange(out_size), x0), 1.0 - w)
     np.add.at(m, (np.arange(out_size), x1), w)
     return m
@@ -76,6 +83,23 @@ def _apply_hw_matrices(x, mh, mw):
     return y.astype(dtype)
 
 
+def _lerp_axis(x, in_size, out_size, align_corners, axis):
+    """1-D linear resample along `axis` via two gathers + lerp.
+
+    Separable resampling as gathers is ~1000x fewer FLOPs than the dense
+    interpolation-matrix matmul at feature resolutions (a x2 upsample of a
+    [360,480,64] map costs ~58 GFLOPs as matmuls — more than the whole
+    ResNet-18 backbone — vs ~0.1 GFLOP here)."""
+    i0, i1, w = _linear_gather(in_size, out_size, align_corners)
+    x0 = jnp.take(x, jnp.asarray(i0), axis=axis)
+    x1 = jnp.take(x, jnp.asarray(i1), axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    wb = jnp.asarray(w).reshape(shape).astype(x.dtype)
+    # torch evaluates (1-w)*x0 + w*x1 — keep the same form for bit parity
+    return x0 * (1 - wb) + x1 * wb
+
+
 def resize_bilinear(x, out_hw, align_corners: bool):
     """Bilinear resize of NHWC (or [H,W,C] / any leading-batch) tensor,
     matching torch F.interpolate(mode='bilinear', align_corners=...)."""
@@ -83,9 +107,8 @@ def resize_bilinear(x, out_hw, align_corners: bool):
     oh, ow = int(out_hw[0]), int(out_hw[1])
     if (h, w) == (oh, ow):
         return x
-    return _apply_hw_matrices(
-        x, _linear_matrix(h, oh, align_corners), _linear_matrix(w, ow, align_corners)
-    )
+    y = _lerp_axis(x, h, oh, align_corners, x.ndim - 3)
+    return _lerp_axis(y, w, ow, align_corners, x.ndim - 2)
 
 
 def resize_nearest(x, out_hw):

@@ -1,0 +1,80 @@
+"""Training losses, torch-parity, NHWC.
+
+The reference loss surface (`train.py:210-216`, `train_pair.py:291-302`):
+  * PSPNet-CamVid: NLLLoss(ignore 255) on log-softmax outputs + alpha *
+    BCEWithLogits on the class-presence head,
+  * PSPNet-Cityscapes: CrossEntropy(ignore 255) main + 0.4 * aux,
+  * BiSeNet: OhemCELoss(0.7) x3 heads,
+  * FST: MSELoss between teacher and student features.
+
+OHEM note (`model/bisenet.py:600-614`): keep per-pixel CE losses above
+-log(0.7); if fewer than n_min = n_valid/16 qualify, take the top n_min.
+The reference's dynamic topk is re-expressed with a sorted threshold so the
+computation is fixed-shape for XLA: mean over {loss > max-rank-threshold}.
+Under float ties at the k-th rank this may include a few extra pixels
+(measure-zero difference).
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def nll_loss(log_probs, labels, ignore_label=255):
+    """log_probs [N,H,W,C] (log-softmax), labels [N,H,W] int."""
+    keep = labels != ignore_label
+    safe = jnp.where(keep, labels, 0)
+    picked = jnp.take_along_axis(log_probs, safe[..., None], axis=-1)[..., 0]
+    losses = -picked * keep
+    return jnp.sum(losses) / jnp.maximum(jnp.sum(keep), 1)
+
+
+def cross_entropy(logits, labels, ignore_label=255):
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return nll_loss(logp, labels, ignore_label)
+
+
+def bce_with_logits(logits, targets):
+    """BCEWithLogitsLoss, mean reduction. logits/targets [N, C]."""
+    m = jnp.clip(logits, 0, None)
+    losses = m - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    return jnp.mean(losses)
+
+
+def _per_pixel_ce(logits, labels, ignore_label):
+    keep = labels != ignore_label
+    safe = jnp.where(keep, labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    picked = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return (-picked) * keep, keep
+
+
+def ohem_ce(logits, labels, thresh=0.7, ignore_label=255):
+    """OhemCELoss: mean of hard-example CE losses (see module docstring)."""
+    losses, keep = _per_pixel_ce(logits, labels, ignore_label)
+    flat = losses.reshape(-1)
+    n_min = jnp.sum(keep) // 16
+    t = -jnp.log(jnp.float32(thresh))
+
+    sorted_desc = -jnp.sort(-flat)
+    kth = sorted_desc[jnp.clip(n_min - 1, 0, flat.shape[0] - 1)]
+
+    def enough_hard(_):
+        mask = flat > t
+        return jnp.sum(flat * mask) / jnp.maximum(jnp.sum(mask), 1)
+
+    def top_nmin(_):
+        mask = flat >= kth
+        return jnp.sum(flat * mask) / jnp.maximum(jnp.sum(mask), 1)
+
+    n_hard = jnp.sum(flat > t)
+    return jax.lax.cond(n_hard >= n_min, enough_hard, top_nmin, None)
+
+
+def mse(a, b):
+    return jnp.mean((a - b) ** 2)
+
+
+def kl_div_log_target(log_p, log_q):
+    """KLDivLoss(log_target=True, reduction='mean') parity:
+    mean over all elements of exp(target) * (target - input)."""
+    return jnp.mean(jnp.exp(log_q) * (log_q - log_p))

@@ -1,0 +1,87 @@
+"""Benchmark: AR-Seg flagship config on one TPU chip.
+
+Measures the batched GOP pipeline (camvid-psp18, GOP 12, LR 0.5x, 720x960 —
+the BASELINE.json headline config) in frames/sec/chip.  vs_baseline is the
+speedup over running the HR model on every frame on the same chip — the
+efficiency claim AR-Seg makes (reference README.md:1-8; the repo publishes
+no FPS artifacts, BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+GOP = 12
+H, W = 720, 960
+SCALE = 0.5
+WARMUP = 2
+ITERS = 8
+
+
+def _sync(out):
+    # On the axon remote platform block_until_ready does not reliably block;
+    # a host transfer of the (small, int32) result does. TPU cores execute
+    # programs serially, so syncing the last output syncs the whole run.
+    return np.asarray(jax.tree_util.tree_leaves(out)[0])
+
+
+def _time(fn, *args):
+    for _ in range(WARMUP):
+        _sync(fn(*args))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(ITERS):
+        out = fn(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) / ITERS
+
+
+if __name__ == "__main__":
+    from arseg_tpu.models import build_model
+    from arseg_tpu.gop import ARPipeline
+    from arseg_tpu.ops import resize_bilinear
+
+    hr_model = build_model("camvid-psp18", fuse=False)
+    lr_model = build_model("camvid-psp18", fuse=True)
+    hr_params = hr_model.init(jax.random.PRNGKey(0))
+    lr_params = lr_model.init(jax.random.PRNGKey(1))
+
+    rng = np.random.RandomState(0)
+    keyframe = jnp.asarray(rng.randn(1, H, W, 3).astype(np.float32))
+    frames = jnp.asarray(rng.randn(GOP - 1, H, W, 3).astype(np.float32))
+    flows = jnp.asarray(rng.uniform(-16, 16, (GOP - 1, H, W, 2)).astype(np.float32))
+
+    pipe = ARPipeline(hr_model, lr_model, scale=SCALE)
+    ar_time = _time(pipe, hr_params, lr_params, keyframe, frames, flows)
+    ar_fps = GOP / ar_time
+
+    # HR-on-every-frame baseline on the same chip (lax.map chunks bound the
+    # full-res decoder activations the same way the AR pipeline does)
+    @jax.jit
+    def hr_all(params, batch):
+        def chunk(xs):
+            out = hr_model.apply(params, xs)[0]
+            out = resize_bilinear(out, (H, W), align_corners=True)
+            return jnp.argmax(out, axis=-1)
+
+        return jax.lax.map(chunk, batch.reshape(-1, 1, H, W, 3))
+
+    all_frames = jnp.concatenate([keyframe, frames], axis=0)
+    hr_time = _time(hr_all, hr_params, all_frames)
+    hr_fps = GOP / hr_time
+
+    print(
+        json.dumps(
+            {
+                "metric": "camvid-psp18 AR0.5x GOP12 720x960 throughput",
+                "value": round(ar_fps, 2),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(ar_fps / hr_fps, 3),
+            }
+        )
+    )

@@ -19,7 +19,7 @@ def _png(path, arr):
     Image.fromarray(arr).save(path)
 
 
-def make_camvid_tree(root, gop=4, bitrate="3M", seed=0, n_classes=12):
+def make_camvid_tree(root, gop=4, bitrate="3M", seed=0, n_classes=12, splits=("test",)):
     """Build {root}/camvid-sequence/{bitrate}-GOP{gop}/... for all ref_gaps
     plus labels, mirroring the preprocessing layout
     (pre-process/generate_compressed_dataset_camvid.py, README.md:61-81)."""
@@ -39,12 +39,14 @@ def make_camvid_tree(root, gop=4, bitrate="3M", seed=0, n_classes=12):
         for d_idx in DATASET_IDXS:
             name = f"{SEQ}_{d_idx:06d}"
             img = frames[d_idx - 6690 + 31]
-            _png(os.path.join(dec_dir, "test", f"{name}.png"), img)
             label = rng.randint(0, n_classes, (H, W)).astype(np.uint8)
             label[0, 0] = 255  # exercise ignore_label
-            _png(
-                os.path.join(dec_dir, "test_labels_with_ignored", f"{name}.png"), label
-            )
+            for split in splits:
+                _png(os.path.join(dec_dir, split, f"{name}.png"), img)
+                _png(
+                    os.path.join(dec_dir, f"{split}_labels_with_ignored", f"{name}.png"),
+                    label,
+                )
             if dist > 0:
                 flow = rng.randint(-8, 8, FLOW_SHAPE).astype(np.int16)
                 os.makedirs(mv_dir, exist_ok=True)

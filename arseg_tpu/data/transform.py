@@ -31,13 +31,21 @@ class Pipeline:
 
 
 class PairPipeline:
+    """Compose for multi-party transforms: every op receives all parties and
+    shares one RNG draw across them. Works for the reference's pair, pairOF,
+    triple and tripleOF families alike (`dataset/transform.py:115-658`) — the
+    party count is just the number of dicts passed."""
+
     def __init__(self, ops):
         self.ops = ops
 
-    def __call__(self, im_lb, ref_im_lb):
+    def __call__(self, *parties):
         for op in self.ops:
-            im_lb, ref_im_lb = op(im_lb, ref_im_lb)
-        return im_lb, ref_im_lb
+            parties = op(*parties)
+        return parties
+
+
+TriplePipeline = PairPipeline
 
 
 class RandomCrop:
@@ -132,59 +140,14 @@ class MultiScale:
         ]
 
 
-# ------------------------------------------------------------- pair variants
-
-
-class PairColorJitter(ColorJitter):
-    def __call__(self, im_lb, ref_im_lb):
-        rb, rc, rs = self._draw()
-        return (
-            dict(im=self._enhance(im_lb["im"], rb, rc, rs), lb=im_lb["lb"]),
-            dict(im=self._enhance(ref_im_lb["im"], rb, rc, rs), lb=ref_im_lb["lb"]),
-        )
-
-
-class PairHorizontalFlip(HorizontalFlip):
-    def __call__(self, im_lb, ref_im_lb):
-        if self.rng.random() > self.p:
-            return im_lb, ref_im_lb
-        f = lambda d: dict(
-            im=d["im"].transpose(Image.FLIP_LEFT_RIGHT),
-            lb=d["lb"].transpose(Image.FLIP_LEFT_RIGHT),
-        )
-        return f(im_lb), f(ref_im_lb)
-
-
-class PairRandomScale(RandomScale):
-    def __call__(self, im_lb, ref_im_lb):
-        scale = self.rng.choice(self.scales)
-        w, h = int(im_lb["im"].size[0] * scale), int(im_lb["im"].size[1] * scale)
-        f = lambda d: dict(
-            im=d["im"].resize((w, h), Image.BILINEAR),
-            lb=d["lb"].resize((w, h), Image.NEAREST),
-        )
-        return f(im_lb), f(ref_im_lb)
-
-
-class PairRandomCrop(RandomCrop):
-    def __call__(self, im_lb, ref_im_lb):
-        im, lb = im_lb["im"], im_lb["lb"]
-        if tuple(self.size) == im.size:
-            return im_lb, ref_im_lb
-        resize, crop = self._params(*im.size)
-
-        def f(d):
-            i, l = d["im"], d["lb"]
-            if resize:
-                i = i.resize(resize, Image.BILINEAR)
-                l = l.resize(resize, Image.NEAREST)
-            return dict(im=i.crop(crop), lb=l.crop(crop))
-
-        return f(im_lb), f(ref_im_lb)
-
-
-# ----------------------------------------------------------- pairOF variants
-# ref_im_lb['lb'] is the [H, W, 2] motion-vector array.
+# ------------------------------------------- pair / triple (+OF) variants
+#
+# N-ary transforms: each __call__ takes any number of {'im','lb'} dicts,
+# draws its random parameters ONCE, and applies them to every party. A
+# party's 'lb' slot is either a PIL label map or an [H, W, 2] numpy MV
+# array (the reference's *OF* families, `dataset/transform.py:198-320`);
+# geometry is dispatched on that type, so pair/pairOF/triple/tripleOF all
+# collapse into one implementation.
 
 
 def _resize_flow_nearest(flow, w, h):
@@ -194,71 +157,102 @@ def _resize_flow_nearest(flow, w, h):
     return flow3[..., :2]
 
 
-class PairOFHorizontalFlip(HorizontalFlip):
-    def __call__(self, im_lb, ref_im_lb):
+def _is_flow(lb):
+    return isinstance(lb, np.ndarray)
+
+
+class PairColorJitter(ColorJitter):
+    def __call__(self, *parties):
+        rb, rc, rs = self._draw()
+        return tuple(
+            dict(im=self._enhance(d["im"], rb, rc, rs), lb=d["lb"]) for d in parties
+        )
+
+
+class PairHorizontalFlip(HorizontalFlip):
+    def __call__(self, *parties):
         if self.rng.random() > self.p:
-            return im_lb, ref_im_lb
-        flow = np.array(ref_im_lb["lb"])
-        flow[..., 0] = -flow[..., 0]
-        flow = np.fliplr(flow)
-        return (
-            dict(
-                im=im_lb["im"].transpose(Image.FLIP_LEFT_RIGHT),
-                lb=im_lb["lb"].transpose(Image.FLIP_LEFT_RIGHT),
-            ),
-            dict(im=ref_im_lb["im"].transpose(Image.FLIP_LEFT_RIGHT), lb=flow),
-        )
+            return parties
+
+        def f(d):
+            lb = d["lb"]
+            if _is_flow(lb):
+                # flip negates the x motion component (transform.py:252-253)
+                lb = np.array(lb)
+                lb[..., 0] = -lb[..., 0]
+                lb = np.fliplr(lb)
+            else:
+                lb = lb.transpose(Image.FLIP_LEFT_RIGHT)
+            return dict(im=d["im"].transpose(Image.FLIP_LEFT_RIGHT), lb=lb)
+
+        return tuple(f(d) for d in parties)
 
 
-class PairOFRandomScaleV2(RandomScale):
-    """Resize + multiply MV magnitude by the scale (transform.py:292-320)."""
+class PairRandomScale(RandomScale):
+    """scale_mv=True additionally multiplies MV magnitude by the drawn scale
+    — the V2 behaviour the reference trains with (transform.py:292-320)."""
 
-    def __call__(self, im_lb, ref_im_lb):
+    def __init__(self, scales=(1,), rng=None, scale_mv=True):
+        super().__init__(scales, rng=rng)
+        self.scale_mv = scale_mv
+
+    def __call__(self, *parties):
         scale = self.rng.choice(self.scales)
-        w, h = int(im_lb["im"].size[0] * scale), int(im_lb["im"].size[1] * scale)
-        flow = _resize_flow_nearest(np.asarray(ref_im_lb["lb"]), w, h) * scale
-        return (
-            dict(
-                im=im_lb["im"].resize((w, h), Image.BILINEAR),
-                lb=im_lb["lb"].resize((w, h), Image.NEAREST),
-            ),
-            dict(im=ref_im_lb["im"].resize((w, h), Image.BILINEAR), lb=flow),
-        )
+        w = int(parties[0]["im"].size[0] * scale)
+        h = int(parties[0]["im"].size[1] * scale)
+
+        def f(d):
+            lb = d["lb"]
+            if _is_flow(lb):
+                lb = _resize_flow_nearest(np.asarray(lb), w, h)
+                if self.scale_mv:
+                    lb = lb * scale
+            else:
+                lb = lb.resize((w, h), Image.NEAREST)
+            return dict(im=d["im"].resize((w, h), Image.BILINEAR), lb=lb)
+
+        return tuple(f(d) for d in parties)
 
 
-class PairOFRandomScale(RandomScale):
-    """V1: resize without magnitude rescale (transform.py:263-289)."""
-
-    def __call__(self, im_lb, ref_im_lb):
-        scale = self.rng.choice(self.scales)
-        w, h = int(im_lb["im"].size[0] * scale), int(im_lb["im"].size[1] * scale)
-        flow = _resize_flow_nearest(np.asarray(ref_im_lb["lb"]), w, h)
-        return (
-            dict(
-                im=im_lb["im"].resize((w, h), Image.BILINEAR),
-                lb=im_lb["lb"].resize((w, h), Image.NEAREST),
-            ),
-            dict(im=ref_im_lb["im"].resize((w, h), Image.BILINEAR), lb=flow),
-        )
-
-
-class PairOFRandomCrop(RandomCrop):
-    def __call__(self, im_lb, ref_im_lb):
-        im, lb = im_lb["im"], im_lb["lb"]
+class PairRandomCrop(RandomCrop):
+    def __call__(self, *parties):
+        im = parties[0]["im"]
         if tuple(self.size) == im.size:
-            return im_lb, ref_im_lb
+            return parties
         resize, crop = self._params(*im.size)
-        ref_im, flow = ref_im_lb["im"], np.asarray(ref_im_lb["lb"])
-        if resize:
-            im = im.resize(resize, Image.BILINEAR)
-            lb = lb.resize(resize, Image.NEAREST)
-            ref_im = ref_im.resize(resize, Image.BILINEAR)
-            flow = _resize_flow_nearest(flow, *resize)
-        flow = flow[crop[1] : crop[3], crop[0] : crop[2], :]
-        return (
-            dict(im=im.crop(crop), lb=lb.crop(crop)),
-            dict(im=ref_im.crop(crop), lb=flow),
-        )
+
+        def f(d):
+            i, lb = d["im"], d["lb"]
+            if _is_flow(lb):
+                lb = np.asarray(lb)
+                if resize:
+                    i = i.resize(resize, Image.BILINEAR)
+                    lb = _resize_flow_nearest(lb, *resize)
+                lb = lb[crop[1] : crop[3], crop[0] : crop[2], :]
+                return dict(im=i.crop(crop), lb=lb)
+            if resize:
+                i = i.resize(resize, Image.BILINEAR)
+                lb = lb.resize(resize, Image.NEAREST)
+            return dict(im=i.crop(crop), lb=lb.crop(crop))
+
+        return tuple(f(d) for d in parties)
+
+
+# reference-name aliases: the OF/triple families are the same N-ary ops
+PairOFHorizontalFlip = PairHorizontalFlip
+PairOFRandomScaleV2 = PairRandomScale
+PairOFRandomCrop = PairRandomCrop
+TripleColorJitter = PairColorJitter
+TripleOFHorizontalFlip = PairHorizontalFlip
+TripleOFRandomScaleV2 = PairRandomScale
+TripleOFRandomCrop = PairRandomCrop
+
+
+class PairOFRandomScale(PairRandomScale):
+    """V1: flow resize without magnitude rescale (transform.py:263-289)."""
+
+    def __init__(self, scales=(1,), rng=None):
+        super().__init__(scales, rng=rng, scale_mv=False)
 
 
 def normalize(img, mean, std):

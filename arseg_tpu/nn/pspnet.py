@@ -90,8 +90,12 @@ class PSPNet:
         atten_k=7,
         fuse_version=0,
     ):
-        depth = int(backend.replace("resnet", ""))
-        self.cfg = make_resnet_config(depth, "arseg")
+        self.backend = backend
+        if backend.startswith("resnet"):
+            depth = int(backend.replace("resnet", ""))
+            self.cfg = make_resnet_config(depth, "arseg")
+        else:
+            self.cfg = None  # densenet / squeezenet (nn/extractors.py)
         self.n_classes = n_classes
         self.sizes = sizes
         self.psp_size = psp_size
@@ -104,8 +108,14 @@ class PSPNet:
 
     def init(self, key):
         rng = Init.RngStream(key)
+        if self.cfg is not None:
+            feats = init_resnet(rng, self.cfg, self.input_channel, style="msra")
+        else:
+            from arseg_tpu.nn.extractors import init_backbone
+
+            feats = init_backbone(rng, self.backend, self.input_channel)
         p = {
-            "feats": init_resnet(rng, self.cfg, self.input_channel, style="msra"),
+            "feats": feats,
             "psp": init_psp_module(rng, self.psp_size, 1024, self.sizes),
             "up_1": init_psp_upsample(rng, 1024, 256),
             "up_2": init_psp_upsample(rng, 256, 64),
@@ -123,7 +133,11 @@ class PSPNet:
     # -- shared pieces ------------------------------------------------------
 
     def _backbone(self, p, x, ctx):
-        return resnet_apply(p["feats"], x, self.cfg, ctx, "feats.")
+        if self.cfg is not None:
+            return resnet_apply(p["feats"], x, self.cfg, ctx, "feats.")
+        from arseg_tpu.nn.extractors import apply_backbone
+
+        return apply_backbone(p["feats"], x, self.backend, ctx, "feats.")
 
     def _decoder(self, p, f, ctx):
         y = apply_psp_module(p["psp"], f, self.sizes)

@@ -67,6 +67,8 @@ PSP_SIZES = {
     "resnet50": (2048, 1024),
     "resnet101": (2048, 1024),
     "resnet152": (2048, 1024),
+    "densenet": (1024, 512),
+    "squeezenet": (512, 256),
 }
 
 

@@ -11,6 +11,8 @@ Mechanics:
   * drop num_batches_tracked.
 """
 
+import re
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -34,6 +36,35 @@ ALIASES = {
     },
 }
 ALIASES["cityscapes-bise18"] = ALIASES["camvid-bise18"]
+
+# DenseNet torch modules register twice (ModuleList 'blocks.N' + named
+# 'denseblockN'/'transitionN' attrs, reference `model/extractors.py:230-247`);
+# keep the named keys, drop the duplicates, and flatten the stem Sequential.
+ALIASES["psp-densenet"] = {
+    "feats.start_features": "feats",
+    "feats.blocks": None,
+}
+ALIASES["psp-squeezenet"] = {
+    "feats.feat_1.0": "feats.feat_1.conv",
+    "feats.feat_2.1": "feats.feat_2.fire1",
+    "feats.feat_2.2": "feats.feat_2.fire2",
+    "feats.feat_3.1": "feats.feat_3.fire1",
+    "feats.feat_3.2": "feats.feat_3.fire2",
+    "feats.feat_4.0": "feats.feat_4.fire1",
+    "feats.feat_4.1": "feats.feat_4.fire2",
+    "feats.feat_4.2": "feats.feat_4.fire3",
+    "feats.feat_4.3": "feats.feat_4.fire4",
+}
+
+# mid-key regex rewrites (the dense layers name their modules 'norm.1'/
+# 'conv.2', reference `model/extractors.py:168-175`; our tree uses dot-free
+# names — scoped to denselayers so the PSP decoder's 'up_N.conv.1' Sequential
+# indices stay untouched)
+SUBSTITUTIONS = {
+    "psp-densenet": [
+        (r"(denselayer\d+)\.(norm|conv)\.(\d)\.", r"\1.\2\3."),
+    ],
+}
 
 
 def _to_numpy(t):
@@ -69,12 +100,16 @@ def _apply_alias(key: str, aliases: dict):
 def convert_state_dict(state_dict, backend: str | None = None):
     """state_dict: {torch_key: tensor/ndarray} -> nested arseg_tpu param tree."""
     aliases = ALIASES.get(backend, {}) if backend else {}
+    substitutions = SUBSTITUTIONS.get(backend, []) if backend else []
     tree = {}
     seen = set()
     for key, val in state_dict.items():
         if key.startswith("module."):
             key = key[len("module.") :]
         key = _apply_alias(key, aliases)
+        for pattern, repl in substitutions:
+            if key is not None:
+                key = re.sub(pattern, repl, key)
         if key is None or key in seen:
             continue
         seen.add(key)

@@ -52,6 +52,19 @@ def install_reference():
 
     mz.load_url = lambda *a, **k: {}
 
+    # the reference's DenseNet registers modules as 'norm.1'/'conv.2'
+    # (torch 1.7 allowed dots, `model/extractors.py:168-175`); torch 2.x
+    # raises. Sanitize at registration — oracle state_dict keys then come
+    # out dot-free ('norm1'), matching our tree directly (checkpoints
+    # saved by torch 1.7 keep dots and go through the converter's
+    # SUBSTITUTIONS instead).
+    _orig_add_module = nn.Module.add_module
+
+    def _add_module(self, name, module):
+        return _orig_add_module(self, name.replace(".", ""), module)
+
+    nn.Module.add_module = _add_module
+
     # torchvision is absent in this image; the reference only needs
     # densenet121/squeezenet1_1 factories, which our tests never exercise.
     if "torchvision" not in sys.modules:
@@ -63,7 +76,16 @@ def install_reference():
         def _unavailable(*a, **k):
             raise RuntimeError("torchvision stub: pretrained factory unavailable")
 
-        dn.densenet121 = _unavailable
+        def _dummy_densenet121(*a, **k):
+            # reference DenseNet.__init__ unconditionally lists the
+            # torchvision features (`model/extractors.py:225`); with
+            # pretrained=False nothing is loaded from them, so an empty
+            # children() satisfies it
+            return types.SimpleNamespace(
+                features=types.SimpleNamespace(children=lambda: [])
+            )
+
+        dn.densenet121 = _dummy_densenet121
         sq.squeezenet1_1 = _unavailable
         tv.models = tvm
         tvm.densenet = dn

@@ -79,7 +79,7 @@ def test_creff_pallas_interpret_matches_oracle():
     v = rng.randn(2, 18, 21, 8).astype(np.float32)
     ref = _torch_creff(_nchw(q), _nchw(k), _nchw(v), 7, 7)
     got = creff_fused_pallas(
-        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 7, 7, True
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 7, 7, interpret=True
     )
     np.testing.assert_allclose(
         np.asarray(got), ref.permute(0, 2, 3, 1).numpy(), rtol=1e-4, atol=1e-5

@@ -48,7 +48,7 @@ def _alter_step(highres_model, model, scale, n_classes, ignore_label):
     @jax.jit
     def step(hr_params, params, hist, image, label, ref_image, flow):
         ref_feat = _as_tuple(highres_model.apply(hr_params, ref_image))[-1]
-        f = scale_and_resize_flow(flow, ref_feat.shape[1:3], mode="bilinear")
+        f = scale_and_resize_flow(flow, ref_feat.shape[1:3], mode="bilinear", split=True)
         warped = warp_feature(ref_feat, f)
 
         h, w = image.shape[1], image.shape[2]

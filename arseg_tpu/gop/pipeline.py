@@ -24,10 +24,22 @@ import jax
 import jax.numpy as jnp
 
 from arseg_tpu.ops import resize_bilinear, warp_feature, scale_and_resize_flow
+from arseg_tpu.ops.warp import _resize_plane_bilinear
 
 
 def _as_tuple(x):
     return x if isinstance(x, tuple) else (x,)
+
+
+def _resize_flow_planes(flow_planes, feat_hw):
+    """(fx, fy) [n, Hf, Wf] -> magnitude-rescaled planes at feat_hw
+    (eval-path semantics: x feat_h/flow_h then bilinear align_corners=True,
+    reference `evaluation.py:177-180`)."""
+    fx, fy = flow_planes
+    s = jnp.float32(feat_hw[0] / fx.shape[-2])
+    fx = _resize_plane_bilinear(fx.astype(jnp.float32) * s, feat_hw, True)
+    fy = _resize_plane_bilinear(fy.astype(jnp.float32) * s, feat_hw, True)
+    return fx, fy
 
 
 class ARPipeline:
@@ -38,23 +50,39 @@ class ARPipeline:
     full input resolution for all GOP frames (keyframe via the HR branch).
     """
 
-    def __init__(self, hr_model, lr_model, scale=0.5, dtype=jnp.float32, lr_chunk=1):
+    def __init__(self, hr_model, lr_model, scale=0.5, dtype=jnp.float32, lr_chunk=2):
         self.hr_model = hr_model
         self.lr_model = lr_model
         self.scale = scale
+        # dtype=bfloat16 casts params + frames at the jit boundary: conv/
+        # matmul paths run at the MXU's 4x bf16 rate (flow index math and
+        # softmax stay f32 inside the ops; argmax output unaffected).
         self.dtype = dtype
-        # CReFF runs at HR feature resolution, so a fully-batched GOP at
-        # 720x960x64 fp32 needs ~29 GB of HBM (measured) — far over a v5e
-        # chip's 16 GB. lax.map over fixed chunks serializes chunk execution
-        # (bounding live memory at chunk size) while keeping per-chunk
-        # compute batched on the MXU.
+        # CReFF runs at HR feature resolution; the halo-tiled k/v for the
+        # fused kernel cost ~0.5 GB/frame fp32, so a fully-batched GOP would
+        # exceed a v5e chip's 16 GB. lax.map over fixed chunks serializes
+        # chunk execution (bounding live memory at chunk size) while keeping
+        # per-chunk compute batched on the MXU.
         self.lr_chunk = lr_chunk
         self._step = jax.jit(self._gop_step)
 
-    def _lr_branch(self, lr_params, frames, flows, ref_feat):
-        """LR branch for a batch of frames: resize -> phase1 -> warp -> CReFF."""
+    def _cast(self, tree):
+        if self.dtype == jnp.float32:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(self.dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            tree,
+        )
+
+    def _lr_branch(self, lr_params, frames, flow_planes, ref_feat):
+        """LR branch for a batch of frames: resize -> phase1 -> warp -> CReFF.
+
+        flow_planes: (fx, fy) [n, Hf, Wf] pixel-displacement planes (already
+        split out of the lane-hostile [..., 2] layout, once per GOP)."""
         n, h, w, _ = frames.shape
-        f = scale_and_resize_flow(flows, ref_feat.shape[1:3], mode="bilinear")
+        f = _resize_flow_planes(flow_planes, ref_feat.shape[1:3])
         ref_rep = jnp.broadcast_to(ref_feat, (n,) + ref_feat.shape[1:])
         warped = warp_feature(ref_rep, f)
         x = resize_bilinear(frames, (int(h * self.scale), int(w * self.scale)),
@@ -67,21 +95,31 @@ class ARPipeline:
     def _gop_step(self, hr_params, lr_params, keyframe, frames, flows):
         """keyframe [1,H,W,3]; frames [G-1,H,W,3]; flows [G-1,Hf,Wf,2]."""
         g1, h, w, _ = frames.shape
+        hr_params, lr_params, keyframe, frames = self._cast(
+            (hr_params, lr_params, keyframe, frames)
+        )
 
         hr_out = _as_tuple(self.hr_model.apply(hr_params, keyframe))
         key_logits = hr_out[0]
         ref_feat = hr_out[-1]  # [1, h_f, w_f, C]
 
+        # split the [..., 2] flow array into per-axis planes ONCE per GOP:
+        # a 2-channel NHWC array puts C=2 on the 128-lane axis, making every
+        # op that touches it ~64x more expensive than necessary
+        fx, fy = flows[..., 0], flows[..., 1]
+
         c = min(self.lr_chunk, g1)
         pad = (-g1) % c
         frames_p = jnp.pad(frames, ((0, pad), (0, 0), (0, 0), (0, 0)))
-        flows_p = jnp.pad(flows, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        fx_p = jnp.pad(fx, ((0, pad), (0, 0), (0, 0)))
+        fy_p = jnp.pad(fy, ((0, pad), (0, 0), (0, 0)))
         frames_c = frames_p.reshape(-1, c, *frames.shape[1:])
-        flows_c = flows_p.reshape(-1, c, *flows.shape[1:])
+        fx_c = fx_p.reshape(-1, c, *fx.shape[1:])
+        fy_c = fy_p.reshape(-1, c, *fy.shape[1:])
 
         preds = jax.lax.map(
-            lambda args: self._lr_branch(lr_params, args[0], args[1], ref_feat),
-            (frames_c, flows_c),
+            lambda args: self._lr_branch(lr_params, args[0], (args[1], args[2]), ref_feat),
+            (frames_c, fx_c, fy_c),
         )
         preds = preds.reshape(-1, h, w)[:g1]
 
@@ -106,7 +144,7 @@ class ARPipeline:
 
         @jax.jit
         def frame_step(lr_params, ref_feat, frame, flow):
-            f = scale_and_resize_flow(flow, ref_feat.shape[1:3], mode="bilinear")
+            f = scale_and_resize_flow(flow, ref_feat.shape[1:3], mode="bilinear", split=True)
             warped = warp_feature(ref_feat, f)
             h, w = frame.shape[1:3]
             x = resize_bilinear(frame, (int(h * self.scale), int(w * self.scale)),

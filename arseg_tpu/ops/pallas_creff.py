@@ -18,10 +18,11 @@ zero-padded k/v, giving logit 0 and value 0 — bit-matching the reference's
 unfold CPU oracle (`model/attention.py:55-85`).
 
 The band waste factor is (TW+kw-1)/kw per matmul, so a *small* TW keeps
-total FLOPs ~(TW+6)/7 * 4*H*W*C ~ 166 GF at 720x960x64 — about 3 ms of MXU
-time, vs ~26 ms measured for the best per-offset VPU variant of this kernel
-(windowed dot products share no contraction, so the VPU form can't use the
-MXU at all; v1 of this kernel was 25x off roofline in NHWC 16x16 tiles).
+total FLOPs ~(TW+6)/7 * 4*H*W*C ~ 166 GF at 720x960x64. Measured lineage at
+720x960x64 on one v5e chip: per-offset VPU form 26-35 ms (no contraction to
+give the MXU); per-row banded dots 15.3/11.2 ms f32/bf16; this wide-concat
+form 15.0/10.2 ms. Remaining gap to the ~3 ms roofline is kernel-internal
+(the chip sustains 55 TF/s on large dots but ~3 TF/s on these shapes).
 
 k/v arrive as overlapping halo tiles pre-expanded by XLA (~2x one-time HBM
 traffic); layout stays NHWC end-to-end — matmul contractions are over C, so
@@ -42,39 +43,54 @@ def _cdiv(a, b):
 
 def _kernel(q_ref, kt_ref, vt_ref, out_ref, *, kh, kw, th, tw):
     f32 = jnp.float32
-    q = q_ref[0].astype(f32)  # [TH, TW, C]
-    kt = kt_ref[0, 0, 0].astype(f32)  # [TH+kh-1, TW+kw-1, C]
-    vt = vt_ref[0, 0, 0].astype(f32)
+    # matmul operands stay in the input dtype (bf16 inputs -> 4x MXU rate);
+    # logits/softmax/accumulation are always f32 (preferred_element_type)
+    q = q_ref[0]  # [TH, TW, C]
+    kt = kt_ref[0, 0, 0]  # [TH+kh-1, TW+kw-1, C]
+    vt = vt_ref[0, 0, 0]
     twh = tw + kw - 1
-
-    # static band mask: position (x, j) is in-window iff j - x in [0, kw)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (tw, twh), 1)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (tw, twh), 0)
-    band = (jj >= xx) & (jj < xx + kw)
     neg_inf = jnp.float32(-jnp.inf)
 
-    dn_qk = (((1,), (1,)), ((), ()))  # contract C with C -> [TW, TWH]
-    dn_pv = (((1,), (0,)), ((), ()))  # [TW, TWH] . [TWH, C] -> [TW, C]
+    # ONE wide batched matmul per pass: the kh dy-blocks are concatenated
+    # along N (QK) / the contraction dim (PV), each padded to a 128-lane
+    # boundary. Small separate dots measured 2.9 TF/s vs the chip's 55 —
+    # the MXU's per-instruction pipeline overhead dominates tiny matmuls,
+    # so amortize it: 2 dot instructions per tile instead of 2*kh*th.
+    twp = _cdiv(twh, 128) * 128  # per-dy padded block width
+    c = q.shape[-1]
 
-    for r in range(th):
-        qr = q[r]  # [TW, C]
-        s = []
-        for dy in range(kh):
-            logits = jax.lax.dot_general(
-                qr, kt[r + dy], dn_qk, preferred_element_type=f32
-            )
-            s.append(jnp.where(band, logits, neg_inf))
-        sall = jnp.stack(s)  # [kh, TW, TWH]
-        m = jnp.max(sall, axis=(0, 2))  # [TW]
-        e = jnp.exp(sall - m[None, :, None])
-        denom = jnp.sum(e, axis=(0, 2))  # [TW]
-        p = e / denom[None, :, None]
-        acc = jnp.zeros((tw, q.shape[-1]), dtype=f32)
-        for dy in range(kh):
-            acc = acc + jax.lax.dot_general(
-                p[dy], vt[r + dy], dn_pv, preferred_element_type=f32
-            )
-        out_ref[0, r] = acc.astype(out_ref.dtype)
+    # K_cat [TH, kh*TWP, C]: dy-th row-window slices of the halo, padded
+    kcat = jnp.concatenate(
+        [
+            jnp.pad(kt[dy : dy + th], ((0, 0), (0, twp - twh), (0, 0)))
+            for dy in range(kh)
+        ],
+        axis=1,
+    )
+    vcat = jnp.concatenate(
+        [
+            jnp.pad(vt[dy : dy + th], ((0, 0), (0, twp - twh), (0, 0)))
+            for dy in range(kh)
+        ],
+        axis=1,
+    )
+
+    dn_qk = (((2,), (2,)), ((0,), (0,)))  # [TH,TW,C].[TH,kh*TWP,C] -> [TH,TW,kh*TWP]
+    dn_pv = (((2,), (1,)), ((0,), (0,)))  # [TH,TW,kh*TWP].[TH,kh*TWP,C] -> [TH,TW,C]
+
+    logits = jax.lax.dot_general(q, kcat, dn_qk, preferred_element_type=f32)
+
+    # in-window iff j_local - x in [0, kw) and j_local < twh, per dy block
+    jj = jax.lax.broadcasted_iota(jnp.int32, (tw, kh * twp), 1) % twp
+    xx = jax.lax.broadcasted_iota(jnp.int32, (tw, kh * twp), 0)
+    band = (jj >= xx) & (jj < xx + kw) & (jj < twh)
+
+    sall = jnp.where(band[None], logits, neg_inf)  # [TH, TW, kh*TWP]
+    m = jnp.max(sall, axis=2)
+    e = jnp.exp(sall - m[..., None])
+    p = (e / jnp.sum(e, axis=2)[..., None]).astype(vt.dtype)
+    acc = jax.lax.dot_general(p, vcat, dn_pv, preferred_element_type=f32)
+    out_ref[0] = acc.astype(out_ref.dtype)
 
 
 def _halo_tiles(x, th, tw, kh, kw, nh, nw):
@@ -90,9 +106,14 @@ def _halo_tiles(x, th, tw, kh, kw, nh, nw):
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
 def creff_fused_pallas(
-    q, k, v, kh: int, kw: int, th: int = 8, tw: int = 128, interpret: bool = False
+    q, k, v, kh: int, kw: int, th: int = 16, tw: int = 120, interpret: bool = False
 ):
-    """softmax(local_similar(q, k)) weighted sum of v, fused. NHWC in/out."""
+    """softmax(local_similar(q, k)) weighted sum of v, fused. NHWC in/out.
+
+    Default tw=120 (divisible by 8, as TPU block specs require) makes the
+    banded matmul width tw+kw-1 = 126, padded to one 128-lane MXU pass — the
+    MXU pads N to 128 multiples, so tw=128 (width 134 -> 256) would halve MXU utilization.
+    """
     n, h, w, c = q.shape
     tw = min(tw, _cdiv(w, 128) * 128)
     hp = _cdiv(h, th) * th

@@ -110,7 +110,7 @@ def build_phase2_loss(
             ref_p = _teacher_feat(teacher_model, teacher_params, batch["ref_image"])
             if with_motion:
                 # train path uses NEAREST flow resampling (train_pair.py:345-348)
-                f = scale_and_resize_flow(batch["flow"], ref_p.shape[1:3], mode="nearest")
+                f = scale_and_resize_flow(batch["flow"], ref_p.shape[1:3], mode="nearest", split=True)
                 ref_p = warp_feature(ref_p, f)
             outputs = model.apply(params, x, ctx, mode="merge", ref_p=ref_p)
         else:

@@ -21,6 +21,8 @@ H, W = 720, 960
 SCALE = 0.5
 WARMUP = 2
 ITERS = 8
+DTYPE = "bfloat16"  # deployment inference dtype (both AR and HR baseline)
+LR_CHUNK = 2
 
 
 def _sync(out):
@@ -56,23 +58,29 @@ if __name__ == "__main__":
     frames = jnp.asarray(rng.randn(GOP - 1, H, W, 3).astype(np.float32))
     flows = jnp.asarray(rng.uniform(-16, 16, (GOP - 1, H, W, 2)).astype(np.float32))
 
-    pipe = ARPipeline(hr_model, lr_model, scale=SCALE)
+    dtype = jnp.dtype(DTYPE)
+    pipe = ARPipeline(hr_model, lr_model, scale=SCALE, dtype=dtype, lr_chunk=LR_CHUNK)
     ar_time = _time(pipe, hr_params, lr_params, keyframe, frames, flows)
     ar_fps = GOP / ar_time
 
-    # HR-on-every-frame baseline on the same chip (lax.map chunks bound the
-    # full-res decoder activations the same way the AR pipeline does)
+    # HR-on-every-frame baseline on the same chip at the same dtype (lax.map
+    # chunks bound the full-res decoder activations the same way the AR
+    # pipeline does)
+    hr_params_t = jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, hr_params
+    )
+
     @jax.jit
     def hr_all(params, batch):
         def chunk(xs):
-            out = hr_model.apply(params, xs)[0]
+            out = hr_model.apply(params, xs.astype(dtype))[0]
             out = resize_bilinear(out, (H, W), align_corners=True)
             return jnp.argmax(out, axis=-1)
 
         return jax.lax.map(chunk, batch.reshape(-1, 1, H, W, 3))
 
     all_frames = jnp.concatenate([keyframe, frames], axis=0)
-    hr_time = _time(hr_all, hr_params, all_frames)
+    hr_time = _time(hr_all, hr_params_t, all_frames)
     hr_fps = GOP / hr_time
 
     print(

@@ -1,0 +1,61 @@
+"""GOP AR pipeline tests: batched pipeline vs the streaming per-frame path,
+dtype modes, and chunking (reference semantics: `evaluation.py:154-215`
+frame loop, here batched per SURVEY.md §7)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from arseg_tpu.models import build_model
+from arseg_tpu.gop import ARPipeline
+
+H, W, G = 48, 64, 4
+
+
+@pytest.fixture(scope="module")
+def setup():
+    hr = build_model("camvid-psp18", fuse=False)
+    lr = build_model("camvid-psp18", fuse=True)
+    hp = hr.init(jax.random.PRNGKey(0))
+    lp = lr.init(jax.random.PRNGKey(1))
+    rng = np.random.RandomState(0)
+    kf = jnp.asarray(rng.randn(1, H, W, 3).astype(np.float32))
+    fr = jnp.asarray(rng.randn(G - 1, H, W, 3).astype(np.float32))
+    fl = jnp.asarray(rng.uniform(-4, 4, (G - 1, H, W, 2)).astype(np.float32))
+    return hr, lr, hp, lp, kf, fr, fl
+
+
+def test_batched_matches_streaming(setup):
+    hr, lr, hp, lp, kf, fr, fl = setup
+    pipe = ARPipeline(hr, lr, scale=0.5, lr_chunk=2)
+    batched = np.asarray(pipe(hp, lp, kf, fr, fl))
+
+    key_step, frame_step = pipe.streaming_step()
+    key_pred, ref_feat = key_step(hp, kf)
+    preds = [np.asarray(key_pred)]
+    for i in range(G - 1):
+        preds.append(np.asarray(frame_step(lp, ref_feat, fr[i : i + 1], fl[i : i + 1])))
+    streaming = np.concatenate(preds, axis=0)
+    np.testing.assert_array_equal(batched, streaming)
+
+
+def test_chunk_sizes_agree(setup):
+    hr, lr, hp, lp, kf, fr, fl = setup
+    outs = [
+        np.asarray(ARPipeline(hr, lr, scale=0.5, lr_chunk=c)(hp, lp, kf, fr, fl))
+        for c in (1, 2, 3)
+    ]
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
+
+
+def test_bf16_mode_runs_and_mostly_agrees(setup):
+    hr, lr, hp, lp, kf, fr, fl = setup
+    f32 = np.asarray(ARPipeline(hr, lr, scale=0.5)(hp, lp, kf, fr, fl))
+    b16 = np.asarray(
+        ARPipeline(hr, lr, scale=0.5, dtype=jnp.bfloat16)(hp, lp, kf, fr, fl)
+    )
+    assert b16.shape == f32.shape and b16.dtype == np.int32
+    # bf16 flips only a small fraction of argmax decisions on random weights
+    assert np.mean(b16 == f32) > 0.9

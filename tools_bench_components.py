@@ -79,7 +79,7 @@ w_ref = np.asarray(jax.jit(warp_feature)(ref, flow))
 w_new = np.asarray(jax.jit(warp_gather2x2)(ref, flow))
 print('warp_gather2x2 max err:', np.abs(w_ref - w_new).max(), flush=True)
 
-for th, tw in [(8, 128), (16, 128), (8, 256), (32, 128)]:
+for th, tw in [(32, 120), (16, 120), (8, 120)]:
     bench(f'creff_pallas th={th} tw={tw}',
           lambda a, b, c_, th=th, tw=tw: creff_fused_pallas(a, b, c_, 7, 7, th, tw),
           q, ref, ref)
@@ -97,6 +97,10 @@ try:
     bench('hr_forward bf16-params+input', lambda p, x: hr.apply(p, x.astype(jnp.bfloat16))[0], hp16, kf)
 except Exception as e:
     print('bf16 hr failed:', e, flush=True)
-bench('creff_pallas bf16 th=8 tw=128',
-      lambda a, b, c_: creff_fused_pallas(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), c_.astype(jnp.bfloat16), 7, 7, 8, 128),
+bench('creff_pallas bf16 th=32 tw=120',
+      lambda a, b, c_: creff_fused_pallas(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), c_.astype(jnp.bfloat16), 7, 7, 32, 120),
       q, ref, ref)
+
+bench('warp bf16', lambda r, f: warp_feature(r.astype(jnp.bfloat16), f), ref, flow)
+fx = flow[..., 0]; fy = flow[..., 1]
+bench('flow resize split planes', lambda a, b: scale_and_resize_flow(jnp.stack([a, b], -1), (720, 960), 'bilinear', split=True), fx, fy)

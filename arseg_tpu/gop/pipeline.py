@@ -76,6 +76,13 @@ class ARPipeline:
             tree,
         )
 
+    def _phase2_logits(self, lr_params, feat, warped):
+        # log_softmax is monotonic: skip it ahead of argmax when supported
+        try:
+            return self.lr_model.forward_phase2(lr_params, feat, warped, log_probs=False)
+        except TypeError:
+            return self.lr_model.forward_phase2(lr_params, feat, warped)
+
     def _lr_branch(self, lr_params, frames, flow_planes, ref_feat):
         """LR branch for a batch of frames: resize -> phase1 -> warp -> CReFF.
 
@@ -88,7 +95,7 @@ class ARPipeline:
         x = resize_bilinear(frames, (int(h * self.scale), int(w * self.scale)),
                             align_corners=True)
         feat = _as_tuple(self.lr_model.forward_phase1(lr_params, x))[-1]
-        out, _ = self.lr_model.forward_phase2(lr_params, feat, warped)
+        out, _ = self._phase2_logits(lr_params, feat, warped)
         out = resize_bilinear(out, (h, w), align_corners=True)
         return jnp.argmax(out, axis=-1)
 

@@ -152,10 +152,11 @@ class PSPNet:
         aux = Fn.relu(Fn.linear(p["classifier"]["0"], aux))
         return Fn.linear(p["classifier"]["2"], aux)
 
-    def _head(self, p, feat, out_hw):
+    def _head(self, p, feat, out_hw, log_probs=True):
         out = Fn.conv2d(p["final_conv"], feat)
         out = resize_bilinear(out, out_hw, align_corners=True)
-        return Fn.log_softmax(out, axis=-1)
+        # log_softmax is monotonic, so argmax consumers (inference) skip it
+        return Fn.log_softmax(out, axis=-1) if log_probs else out
 
     # -- forward modes ------------------------------------------------------
 
@@ -196,12 +197,12 @@ class PSPNet:
         feat = self._decoder(p, f, ctx)
         return self._classifier(p, class_f), feat
 
-    def forward_phase2(self, p, feat, ref_p, ctx=None):
+    def forward_phase2(self, p, feat, ref_p, ctx=None, log_probs=True):
         ctx = ctx or Fn.Ctx()
         out_hw = ref_p.shape[1:3]
         if self.fuse_version == 1:
             fused = self.fuse_apply(p["fuse_attention"], ref_p, feat)
-            return self._head(p, fused, out_hw), fused
+            return self._head(p, fused, out_hw, log_probs), fused
         if self.fuse_version == 2:
             f = self.fuse_apply(p["fuse_attention"], ref_p, feat)
             y = self._decoder(p, f, ctx)

@@ -10,23 +10,19 @@ Formulation. Per output row y and vertical offset dy, the window logits
 are the 7-diagonal band of the [TW, TW+kw-1] matmul
   S_dy = Q_row . K_row(y+dy)^T        <- MXU
 Rather than extracting diagonals (a VPU-hostile row-dependent shift), the
-band is kept in matrix form: out-of-band entries are masked to -inf, the
-softmax runs jointly across the kh banded matrices, and the weighting pass
-  out[y] += P_dy . V_row(y+dy)        <- MXU
-sums over the band automatically. Out-of-image window positions read
-zero-padded k/v, giving logit 0 and value 0 — bit-matching the reference's
-unfold CPU oracle (`model/attention.py:55-85`).
+band stays in matrix form: the kh dy-blocks are concatenated into ONE wide
+batched dot per pass (small separate dots measured 2.9 TF/s vs the chip's
+55 — MXU per-instruction overhead dominates tiny matmuls), out-of-band
+entries are masked to -inf, the softmax runs jointly across the blocks, and
+the weighting dot sums over the band automatically. Out-of-image window
+positions read zero-padded k/v, giving logit 0 and value 0 — bit-matching
+the reference's unfold CPU oracle (`model/attention.py:55-85`).
 
-The band waste factor is (TW+kw-1)/kw per matmul, so a *small* TW keeps
-total FLOPs ~(TW+6)/7 * 4*H*W*C ~ 166 GF at 720x960x64. Measured lineage at
-720x960x64 on one v5e chip: per-offset VPU form 26-35 ms (no contraction to
-give the MXU); per-row banded dots 15.3/11.2 ms f32/bf16; this wide-concat
-form 15.0/10.2 ms. Remaining gap to the ~3 ms roofline is kernel-internal
-(the chip sustains 55 TF/s on large dots but ~3 TF/s on these shapes).
-
-k/v arrive as overlapping halo tiles pre-expanded by XLA (~2x one-time HBM
-traffic); layout stays NHWC end-to-end — matmul contractions are over C, so
-no NCHW transposes are needed anywhere.
+Halo delivery: k/v stay UNEXPANDED in HBM; each grid step issues manual
+double-buffered DMAs of its overlapping (th+kh-1, tw+kw-1) halo window.
+Ablation at 720x960x64 bf16: in-kernel compute is ~1 ms, while the previous
+XLA-side halo-tile expansion (overlapping jnp.stack slices) cost ~4.7 ms
+PER TENSOR — the expansion was ~95%% of the old 10 ms kernel time.
 """
 
 import functools
@@ -41,67 +37,81 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def _kernel(q_ref, kt_ref, vt_ref, out_ref, *, kh, kw, th, tw):
+def _kernel(
+    q_ref, kp_ref, vp_ref, out_ref, kbuf, vbuf, sems, *, kh, kw, th, tw, twd, nh, nw, c
+):
     f32 = jnp.float32
-    # matmul operands stay in the input dtype (bf16 inputs -> 4x MXU rate);
-    # logits/softmax/accumulation are always f32 (preferred_element_type)
+    a = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    step = (a * nh + i) * nw + j
+    total = pl.num_programs(0) * nh * nw
+    slot = jax.lax.rem(step, 2)
+
+    def dma(dst_slot, a2, i2, j2, which):
+        src = kp_ref if which == 0 else vp_ref
+        buf = kbuf if which == 0 else vbuf
+        return pltpu.make_async_copy(
+            src.at[a2, pl.ds(i2 * th, th + kh - 1), pl.ds(j2 * tw, twd), :],
+            buf.at[dst_slot],
+            sems.at[dst_slot, which],
+        )
+
+    @pl.when(step == 0)
+    def _warmup():
+        dma(slot, a, i, j, 0).start()
+        dma(slot, a, i, j, 1).start()
+
+    @pl.when(step + 1 < total)
+    def _prefetch():
+        nxt = step + 1
+        j2 = jax.lax.rem(nxt, nw)
+        i2 = jax.lax.rem(nxt // nw, nh)
+        a2 = nxt // (nh * nw)
+        nslot = jax.lax.rem(nxt, 2)
+        dma(nslot, a2, i2, j2, 0).start()
+        dma(nslot, a2, i2, j2, 1).start()
+
+    dma(slot, a, i, j, 0).wait()
+    dma(slot, a, i, j, 1).wait()
+
     q = q_ref[0]  # [TH, TW, C]
-    kt = kt_ref[0, 0, 0]  # [TH+kh-1, TW+kw-1, C]
-    vt = vt_ref[0, 0, 0]
+    kt = kbuf[slot]  # [TH+kh-1, TWD, C]
+    vt = vbuf[slot]
     twh = tw + kw - 1
+    twp = twd  # per-dy block width (DMA window, already lane/sublane aligned)
     neg_inf = jnp.float32(-jnp.inf)
 
-    # ONE wide batched matmul per pass: the kh dy-blocks are concatenated
-    # along N (QK) / the contraction dim (PV), each padded to a 128-lane
-    # boundary. Small separate dots measured 2.9 TF/s vs the chip's 55 —
-    # the MXU's per-instruction pipeline overhead dominates tiny matmuls,
-    # so amortize it: 2 dot instructions per tile instead of 2*kh*th.
-    twp = _cdiv(twh, 128) * 128  # per-dy padded block width
-    c = q.shape[-1]
-
-    # K_cat [TH, kh*TWP, C]: dy-th row-window slices of the halo, padded
-    kcat = jnp.concatenate(
-        [
-            jnp.pad(kt[dy : dy + th], ((0, 0), (0, twp - twh), (0, 0)))
-            for dy in range(kh)
-        ],
-        axis=1,
-    )
-    vcat = jnp.concatenate(
-        [
-            jnp.pad(vt[dy : dy + th], ((0, 0), (0, twp - twh), (0, 0)))
-            for dy in range(kh)
-        ],
-        axis=1,
-    )
+    kcat = jnp.concatenate([kt[dy : dy + th] for dy in range(kh)], axis=1)
+    vcat = jnp.concatenate([vt[dy : dy + th] for dy in range(kh)], axis=1)
 
     dn_qk = (((2,), (2,)), ((0,), (0,)))  # [TH,TW,C].[TH,kh*TWP,C] -> [TH,TW,kh*TWP]
     dn_pv = (((2,), (1,)), ((0,), (0,)))  # [TH,TW,kh*TWP].[TH,kh*TWP,C] -> [TH,TW,C]
 
-    logits = jax.lax.dot_general(q, kcat, dn_qk, preferred_element_type=f32)
+    # precision=HIGHEST for f32 inputs: Mosaic's default lowers f32 matmuls
+    # through single-pass bf16 (measured 1e-1 logit error vs the CPU oracle;
+    # HIGHEST restores 1e-5 at ~1.6x kernel cost — the parity path). bf16
+    # inputs reject an fp32 contract precision, so they keep the default.
+    prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
+    logits = jax.lax.dot_general(
+        q, kcat, dn_qk, preferred_element_type=f32, precision=prec
+    )
 
     # in-window iff j_local - x in [0, kw) and j_local < twh, per dy block
     jj = jax.lax.broadcasted_iota(jnp.int32, (tw, kh * twp), 1) % twp
     xx = jax.lax.broadcasted_iota(jnp.int32, (tw, kh * twp), 0)
+    # (twp == twd: DMA may haul a few columns past the logical window; the
+    # jj < twh clause below masks them out of the softmax)
     band = (jj >= xx) & (jj < xx + kw) & (jj < twh)
 
     sall = jnp.where(band[None], logits, neg_inf)  # [TH, TW, kh*TWP]
     m = jnp.max(sall, axis=2)
     e = jnp.exp(sall - m[..., None])
     p = (e / jnp.sum(e, axis=2)[..., None]).astype(vt.dtype)
-    acc = jax.lax.dot_general(p, vcat, dn_pv, preferred_element_type=f32)
-    out_ref[0] = acc.astype(out_ref.dtype)
-
-
-def _halo_tiles(x, th, tw, kh, kw, nh, nw):
-    """x: zero-padded [N, hp+kh-1, wp+kw-1, C] ->
-    [N, nh, nw, th+kh-1, tw+kw-1, C] overlapping tiles (static slices)."""
-    rows = jnp.stack(
-        [x[:, i * th : i * th + th + kh - 1] for i in range(nh)], axis=1
+    acc = jax.lax.dot_general(
+        p, vcat, dn_pv, preferred_element_type=f32, precision=prec
     )
-    return jnp.stack(
-        [rows[:, :, :, j * tw : j * tw + tw + kw - 1] for j in range(nw)], axis=2
-    )
+    out_ref[0] = acc[..., :c].astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
@@ -111,8 +121,8 @@ def creff_fused_pallas(
     """softmax(local_similar(q, k)) weighted sum of v, fused. NHWC in/out.
 
     Default tw=120 (divisible by 8, as TPU block specs require) makes the
-    banded matmul width tw+kw-1 = 126, padded to one 128-lane MXU pass — the
-    MXU pads N to 128 multiples, so tw=128 (width 134 -> 256) would halve MXU utilization.
+    banded matmul width tw+kw-1 = 126, padded to one 128-lane MXU pass —
+    tw=128 (width 134 -> 256) would halve MXU utilization.
     """
     n, h, w, c = q.shape
     tw = min(tw, _cdiv(w, 128) * 128)
@@ -120,34 +130,40 @@ def creff_fused_pallas(
     wp = _cdiv(w, tw) * tw
     nh, nw = hp // th, wp // tw
     ph, pw = kh // 2, kw // 2
+    # manual DMA constraints: lane dim 128-aligned, sublane (second-minor)
+    # slice sizes 8-aligned. Padding C is physically free (the T(8,128)
+    # tiled HBM layout pads the minor dim anyway); zero channels/columns
+    # contribute nothing to the contractions, out-of-row columns are cut by
+    # the band mask (jj < twh).
+    cp = _cdiv(c, 128) * 128
+    twd = _cdiv(tw + kw - 1, 8) * 8  # DMA window width
 
-    qp = jnp.pad(q, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
-    kp = jnp.pad(k, ((0, 0), (ph, hp - h + ph), (pw, wp - w + pw), (0, 0)))
-    vp = jnp.pad(v, ((0, 0), (ph, hp - h + ph), (pw, wp - w + pw), (0, 0)))
-    kt = _halo_tiles(kp, th, tw, kh, kw, nh, nw)
-    vt = _halo_tiles(vp, th, tw, kh, kw, nh, nw)
+    qp = jnp.pad(q, ((0, 0), (0, hp - h), (0, wp - w), (0, cp - c)))
+    wpad = wp - w + pw + (twd - (tw + kw - 1))
+    kp = jnp.pad(k, ((0, 0), (ph, hp - h + ph), (pw, wpad), (0, cp - c)))
+    vp = jnp.pad(v, ((0, 0), (ph, hp - h + ph), (pw, wpad), (0, cp - c)))
 
-    halo_block = (1, 1, 1, th + kh - 1, tw + kw - 1, c)
     out = pl.pallas_call(
-        functools.partial(_kernel, kh=kh, kw=kw, th=th, tw=tw),
+        functools.partial(
+            _kernel, kh=kh, kw=kw, th=th, tw=tw, twd=twd, nh=nh, nw=nw, c=c
+        ),
         out_shape=jax.ShapeDtypeStruct((n, hp, wp, c), q.dtype),
         grid=(n, nh, nw),
         in_specs=[
             pl.BlockSpec(
-                (1, th, tw, c), lambda a, b, d: (a, b, d, 0), memory_space=pltpu.VMEM
+                (1, th, tw, cp), lambda a, b, d: (a, b, d, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(
-                halo_block, lambda a, b, d: (a, b, d, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                halo_block, lambda a, b, d: (a, b, d, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, th, tw, c), lambda a, b, d: (a, b, d, 0), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + kh - 1, twd, cp), q.dtype),
+            pltpu.VMEM((2, th + kh - 1, twd, cp), q.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -157,5 +173,5 @@ def creff_fused_pallas(
             transcendentals=n * hp * wp * kh * (tw + kw - 1),
         ),
         interpret=interpret,
-    )(qp, kt, vt)
+    )(qp, kp, vp)
     return out[:, :h, :w, :]

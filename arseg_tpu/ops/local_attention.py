@@ -92,3 +92,46 @@ def _creff_bwd(kh, kw, res, g):
 
 
 creff_attention.defvjp(_creff_fwd, _creff_bwd)
+
+
+def _dwconv3(p, x, c):
+    from arseg_tpu.nn import functional as Fn
+
+    return Fn.conv2d(p, x, padding=1, groups=c)
+
+
+def _module_composed(lr_up, hr, wq, wk, wv, kh, kw):
+    c = hr.shape[-1]
+    q = _dwconv3(wq, lr_up, c)
+    k = _dwconv3(wk, hr, c)
+    v = _dwconv3(wv, hr, c)
+    return lr_up + _creff_reference(q, k, v, kh, kw)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def creff_local_module(lr_up, hr, wq, wk, wv, kh: int, kw: int):
+    """Whole MyAttention forward (3x3 depthwise Q/K/V + local attention +
+    residual, reference `model/attention.py:157-213`). On TPU dispatches to
+    the fully-fused kernel; backward always re-derives through the composed
+    ops (pallas_call is not differentiable)."""
+    if _use_pallas():
+        from arseg_tpu.ops.pallas_creff import creff_qkv_fused
+
+        return creff_qkv_fused(lr_up, hr, wq, wk, wv, kh, kw)
+    return _module_composed(lr_up, hr, wq, wk, wv, kh, kw)
+
+
+def _module_fwd(lr_up, hr, wq, wk, wv, kh, kw):
+    return creff_local_module(lr_up, hr, wq, wk, wv, kh, kw), (lr_up, hr, wq, wk, wv)
+
+
+def _module_bwd(kh, kw, res, g):
+    lr_up, hr, wq, wk, wv = res
+    _, vjp = jax.vjp(
+        lambda a, b, c_, d, e: _module_composed(a, b, c_, d, e, kh, kw),
+        lr_up, hr, wq, wk, wv,
+    )
+    return vjp(g)
+
+
+creff_local_module.defvjp(_module_fwd, _module_bwd)

@@ -32,15 +32,20 @@ def _sync(out):
     return np.asarray(jax.tree_util.tree_leaves(out)[0])
 
 
-def _time(fn, *args):
+def _time(fn, *args, rounds=3):
+    """Median of `rounds` timing rounds — the remote-TPU tunnel shows ~20%
+    run-to-run throughput variance, so single-round numbers are unreliable."""
     for _ in range(WARMUP):
         _sync(fn(*args))
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(ITERS):
-        out = fn(*args)
-    _sync(out)
-    return (time.perf_counter() - t0) / ITERS
+    times = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(ITERS):
+            out = fn(*args)
+        _sync(out)
+        times.append((time.perf_counter() - t0) / ITERS)
+    return sorted(times)[len(times) // 2]
 
 
 if __name__ == "__main__":

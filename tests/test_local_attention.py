@@ -105,3 +105,34 @@ def test_creff_gradients_match_torch():
         np.testing.assert_allclose(
             np.asarray(got), ref.permute(0, 2, 3, 1).numpy(), rtol=1e-4, atol=1e-4
         )
+
+
+def test_creff_qkv_fused_matches_composed():
+    """The fully-fused MyAttention kernel (dwconv QKV + attention + residual,
+    ops/pallas_creff.creff_qkv_fused) vs the composed ops."""
+    import jax
+    from arseg_tpu.ops.pallas_creff import creff_qkv_fused
+    from arseg_tpu.ops.local_attention import _creff_reference
+    from arseg_tpu.nn import functional as Fn
+
+    rng = np.random.RandomState(7)
+    c = 8
+    lr_up = jnp.asarray(rng.randn(1, 21, 27, c).astype(np.float32))
+    ref = jnp.asarray(rng.randn(1, 21, 27, c).astype(np.float32))
+    convs = {}
+    for name in ("wq", "wk", "wv"):
+        convs[name] = {
+            "weight": jnp.asarray(rng.randn(3, 3, 1, c).astype(np.float32)),
+            "bias": jnp.asarray(rng.randn(c).astype(np.float32)),
+        }
+
+    q = Fn.conv2d(convs["wq"], lr_up, padding=1, groups=c)
+    k = Fn.conv2d(convs["wk"], ref, padding=1, groups=c)
+    v = Fn.conv2d(convs["wv"], ref, padding=1, groups=c)
+    want = lr_up + _creff_reference(q, k, v, 7, 7)
+
+    got = creff_qkv_fused(
+        lr_up, ref, convs["wq"], convs["wk"], convs["wv"], 7, 7,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)

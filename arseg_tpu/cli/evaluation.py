@@ -24,6 +24,9 @@ def main(argv=None):
     parser.add_argument("--test_scale", type=float, default=0.5)
     parser.add_argument("--batch_size", type=int, default=1)
     parser.add_argument("--num_workers", type=int, default=4)
+    parser.add_argument("--flow_shape", type=int, nargs=2, default=None,
+                        help="MV map H W (defaults to the dataset's full "
+                             "resolution: camvid 720 960, cityscapes 1024 2048)")
     args = parser.parse_args(argv)
 
     run_protocol(
@@ -37,6 +40,7 @@ def main(argv=None):
         result_dir=args.result_dir,
         batch_size=args.batch_size,
         num_workers=args.num_workers,
+        flow_shape=tuple(args.flow_shape) + (2,) if args.flow_shape else None,
     )
 
 

@@ -54,10 +54,17 @@ def _alter_step(highres_model, model, scale, n_classes, ignore_label):
         h, w = image.shape[1], image.shape[2]
         x = resize_bilinear(image, (int(h * scale), int(w * scale)), align_corners=True)
         feat = _as_tuple(model.forward_phase1(params, x))[-1]
-        out, _ = model.forward_phase2(params, feat, warped)
-
-        logits = resize_bilinear(out, label.shape[1:3], align_corners=True)
-        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if (
+            hasattr(model, "forward_phase2_argmax")
+            and warped.shape[1:3] == tuple(label.shape[1:3])
+        ):
+            # same fused phase-2 + argmax path the AR pipeline serves with
+            # (the logit upsample is the identity; log_softmax is monotonic)
+            pred = model.forward_phase2_argmax(params, feat, warped)
+        else:
+            out, _ = model.forward_phase2(params, feat, warped)
+            logits = resize_bilinear(out, label.shape[1:3], align_corners=True)
+            pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return confusion_update(hist, label, pred, n_classes, ignore_label)
 
     return step

@@ -95,6 +95,8 @@ class ARPipeline:
         x = resize_bilinear(frames, (int(h * self.scale), int(w * self.scale)),
                             align_corners=True)
         feat = _as_tuple(self.lr_model.forward_phase1(lr_params, x))[-1]
+        if hasattr(self.lr_model, "forward_phase2_argmax") and warped.shape[1:3] == (h, w):
+            return self.lr_model.forward_phase2_argmax(lr_params, feat, warped)
         out, _ = self._phase2_logits(lr_params, feat, warped)
         out = resize_bilinear(out, (h, w), align_corners=True)
         return jnp.argmax(out, axis=-1)

@@ -102,6 +102,8 @@ class PSPNet:
         self.deep_features_size = deep_features_size
         self.input_channel = input_channel
         self.fuse_version = fuse_version
+        self.attention_type = attention_type
+        self.atten_k = atten_k
         self.middle_dim = {0: None, 1: 64, 2: 512, 3: 64}[fuse_version]
         if fuse_version:
             self.fuse_init, self.fuse_apply = get_fusion(attention_type, atten_k)
@@ -196,6 +198,31 @@ class PSPNet:
             return self._classifier(p, class_f), f
         feat = self._decoder(p, f, ctx)
         return self._classifier(p, class_f), feat
+
+    def forward_phase2_argmax(self, p, feat, ref_p, ctx=None):
+        """Inference fast path: int32 argmax class map at ref_p resolution.
+        log_softmax is monotonic and the final logit upsample is the identity
+        here (AR eval fuses at full feature resolution,
+        `evaluation.py:193-207`), so on TPU the V1-local config collapses the
+        whole phase-2 into one kernel (dwconv QKV + attention + residual +
+        final_conv + argmax) with no intermediate HBM tensors."""
+        from arseg_tpu.ops.local_attention import _use_pallas
+
+        if (
+            self.fuse_version == 1
+            and self.attention_type == "local"
+            and _use_pallas()
+        ):
+            from arseg_tpu.ops.pallas_creff import creff_phase2_argmax
+
+            fa = p["fuse_attention"]
+            lr_up = resize_bilinear(feat, ref_p.shape[1:3], align_corners=True)
+            return creff_phase2_argmax(
+                lr_up, ref_p, fa["lr_query_conv"], fa["hr_key_conv"],
+                fa["hr_value_conv"], p["final_conv"], self.atten_k, self.atten_k,
+            )
+        out, _ = self.forward_phase2(p, feat, ref_p, ctx, log_probs=False)
+        return jnp.argmax(out, axis=-1).astype(jnp.int32)
 
     def forward_phase2(self, p, feat, ref_p, ctx=None, log_probs=True):
         ctx = ctx or Fn.Ctx()

@@ -360,3 +360,206 @@ def creff_qkv_fused(
         interpret=interpret,
     )(lrp, refp, wq_p, wk_p, wv_p)
     return out[:, :h, :w, :]
+
+
+# --------------------------------------------------------------------------
+# Inference-only epilogue variant: fused module + 1x1 final_conv + argmax.
+# The AR eval path upsamples logits to the reference HW — identity when the
+# fusion already runs at full resolution — then argmaxes
+# (`evaluation.py:193-207`); log_softmax is monotonic and final_conv is a
+# [C, n_classes] GEMM, so the whole head collapses into the kernel and the
+# [N,H,W,C] fused feature + [N,H,W,n_classes] logits never touch HBM.
+
+
+def _qkv_head_kernel(
+    lr_ref, ref_ref, wq_ref, wk_ref, wv_ref, fc_ref, out_ref, lbuf, rbuf, sems,
+    *, kh, kw, th, tw, twd, nh, nw, c, img_h, img_w, n_classes,
+):
+    del n_classes
+    f32 = jnp.float32
+    a = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    step = (a * nh + i) * nw + j
+    total = pl.num_programs(0) * nh * nw
+    slot = jax.lax.rem(step, 2)
+    ph = kh // 2
+    hw = th + kh + 1
+
+    def dma(dst_slot, a2, i2, j2, which):
+        if which == 0:
+            return pltpu.make_async_copy(
+                lr_ref.at[a2, pl.ds(i2 * th, th + 2), pl.ds(j2 * tw, twd), :],
+                lbuf.at[dst_slot],
+                sems.at[dst_slot, 0],
+            )
+        return pltpu.make_async_copy(
+            ref_ref.at[a2, pl.ds(i2 * th, hw), pl.ds(j2 * tw, twd), :],
+            rbuf.at[dst_slot],
+            sems.at[dst_slot, 1],
+        )
+
+    @pl.when(step == 0)
+    def _warmup():
+        dma(slot, a, i, j, 0).start()
+        dma(slot, a, i, j, 1).start()
+
+    @pl.when(step + 1 < total)
+    def _prefetch():
+        nxt = step + 1
+        j2 = jax.lax.rem(nxt, nw)
+        i2 = jax.lax.rem(nxt // nw, nh)
+        a2 = nxt // (nh * nw)
+        nslot = jax.lax.rem(nxt, 2)
+        dma(nslot, a2, i2, j2, 0).start()
+        dma(nslot, a2, i2, j2, 1).start()
+
+    dma(slot, a, i, j, 0).wait()
+    dma(slot, a, i, j, 1).wait()
+
+    lwin = lbuf[slot]
+    rwin = rbuf[slot]
+
+    def dw(win, w_ref, rows, cols):
+        wgt = w_ref[0]
+        acc = None
+        for b in range(3):
+            col = win[:, b : b + cols, :]
+            for a_ in range(3):
+                term = col[a_ : a_ + rows].astype(f32) * wgt[a_, b][None, None, :].astype(f32)
+                acc = term if acc is None else acc + term
+        return acc + w_ref[1, 0, 0][None, None, :].astype(f32)
+
+    q = dw(lwin, wq_ref, th, tw).astype(lwin.dtype)
+    k = dw(rwin, wk_ref, th + kh - 1, twd - 2)
+    v = dw(rwin, wv_ref, th + kh - 1, twd - 2)
+    gr = jax.lax.broadcasted_iota(jnp.int32, (th + kh - 1, twd - 2, 1), 0) + i * th - ph
+    gc = jax.lax.broadcasted_iota(jnp.int32, (th + kh - 1, twd - 2, 1), 1) + j * tw - (kw // 2)
+    valid = (gr >= 0) & (gr < img_h) & (gc >= 0) & (gc < img_w)
+    k = jnp.where(valid, k, 0.0).astype(rwin.dtype)
+    v = jnp.where(valid, v, 0.0).astype(rwin.dtype)
+
+    twh = tw + kw - 1
+    twp = _cdiv(twd - 2, 128) * 128
+    pad_w = twp - (twd - 2)
+    kcat = jnp.concatenate(
+        [jnp.pad(k[dy : dy + th], ((0, 0), (0, pad_w), (0, 0))) for dy in range(kh)],
+        axis=1,
+    )
+    vcat = jnp.concatenate(
+        [jnp.pad(v[dy : dy + th], ((0, 0), (0, pad_w), (0, 0))) for dy in range(kh)],
+        axis=1,
+    )
+    dn_qk = (((2,), (2,)), ((0,), (0,)))
+    dn_pv = (((2,), (1,)), ((0,), (0,)))
+    prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
+    logits = jax.lax.dot_general(q, kcat, dn_qk, preferred_element_type=f32, precision=prec)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (tw, kh * twp), 1) % twp
+    xx = jax.lax.broadcasted_iota(jnp.int32, (tw, kh * twp), 0)
+    band = (jj >= xx) & (jj < xx + kw) & (jj < twh)
+    sall = jnp.where(band[None], logits, jnp.float32(-jnp.inf))
+    m = jnp.max(sall, axis=2)
+    e = jnp.exp(sall - m[..., None])
+    p = (e / jnp.sum(e, axis=2)[..., None]).astype(v.dtype)
+    acc = jax.lax.dot_general(p, vcat, dn_pv, preferred_element_type=f32, precision=prec)
+    fused = lwin[1 : 1 + th, 1 : 1 + tw, :].astype(f32) + acc  # [TH, TW, CP]
+
+    # head: 1x1 conv as GEMM + argmax (log_softmax is monotonic -> skipped)
+    wfc = fc_ref[0]  # [CP, NCP]
+    cls = jax.lax.dot_general(
+        fused.astype(lwin.dtype), wfc,
+        (((2,), (0,)), ((), ())), preferred_element_type=f32, precision=prec,
+    ) + fc_ref[1, 0][None, None, :].astype(f32)
+    pred = jnp.argmax(cls, axis=-1).astype(jnp.int32)  # [TH, TW]
+    out_ref[0, 0, 0] = jnp.pad(pred, ((0, 0), (0, out_ref.shape[-1] - tw)))
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
+def creff_phase2_argmax(
+    lr_up, ref, wq, wk, wv, fc, kh: int, kw: int, th: int = 16, tw: int = 120,
+    interpret: bool = False,
+):
+    """Inference fast path: argmax(final_conv(MyAttention(lr_up, ref))).
+
+    fc: {'weight': [1,1,C,n_classes], 'bias': [n_classes]}. Valid when the
+    post-fusion logit upsample is the identity (AR eval at full feature
+    resolution, `evaluation.py:193-207`). Returns int32 [N, H, W].
+    """
+    n, h, w, c = lr_up.shape
+    n_classes = fc["weight"].shape[-1]
+    tw = min(tw, _cdiv(w, 128) * 128)
+    hp = _cdiv(h, th) * th
+    wp = _cdiv(w, tw) * tw
+    nh, nw = hp // th, wp // tw
+    ph, pw = kh // 2, kw // 2
+    cp = _cdiv(c, 128) * 128
+    ncp = _cdiv(n_classes, 128) * 128
+    twd = _cdiv(tw + kw + 1, 8) * 8
+
+    def pack2(wd, dtype):
+        wgt = jnp.pad(wd["weight"][:, :, 0, :], ((0, 0), (0, 0), (0, cp - c))).astype(dtype)
+        bias = jnp.pad(wd["bias"], (0, cp - c)).astype(dtype)
+        out = jnp.zeros((2, 3, 3, cp), dtype)
+        out = out.at[0].set(wgt)
+        return out.at[1, 0, 0].set(bias)
+
+    wq_p = pack2(wq, lr_up.dtype)
+    wk_p = pack2(wk, lr_up.dtype)
+    wv_p = pack2(wv, lr_up.dtype)
+    # fc packed [2, CP, NCP]: slot 0 weight, slot (1, 0) bias row; the bias
+    # for padded classes is -inf so argmax never selects them
+    fcw = jnp.pad(fc["weight"][0, 0], ((0, cp - c), (0, ncp - n_classes))).astype(lr_up.dtype)
+    fcb = jnp.pad(
+        fc["bias"].astype(jnp.float32), (0, ncp - n_classes),
+        constant_values=-jnp.inf,
+    )
+    fc_p = jnp.zeros((2, cp, ncp), jnp.float32)
+    fc_p = fc_p.at[0].set(fcw.astype(jnp.float32)).at[1, 0].set(fcb)
+    fc_p = fc_p.astype(lr_up.dtype) if lr_up.dtype != jnp.float32 else fc_p
+
+    lrp = jnp.pad(
+        lr_up, ((0, 0), (1, hp - h + 1), (1, wp - w + (twd - tw - 1)), (0, cp - c))
+    )
+    refp = jnp.pad(
+        ref,
+        ((0, 0), (ph + 1, hp - h + ph + 1), (pw + 1, wp - w + (twd - tw - pw - 1)), (0, cp - c)),
+    )
+
+    wspec = pl.BlockSpec(
+        (2, 3, 3, cp), lambda a, b, d: (0, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _qkv_head_kernel, kh=kh, kw=kw, th=th, tw=tw, twd=twd, nh=nh,
+            nw=nw, c=c, img_h=h, img_w=w, n_classes=n_classes,
+        ),
+        # int32 class-map blocks must keep a 128-lane minor dim; assemble
+        # [n, nh, nw, th, 128] tiles and re-stitch below
+        out_shape=jax.ShapeDtypeStruct((n, nh, nw, th, 128), jnp.int32),
+        grid=(n, nh, nw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            wspec,
+            wspec,
+            wspec,
+            pl.BlockSpec(
+                (2, cp, ncp), lambda a, b, d: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, th, 128), lambda a, b, d: (a, b, d, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2, twd, cp), lr_up.dtype),
+            pltpu.VMEM((2, th + kh + 1, twd, cp), lr_up.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(lrp, refp, wq_p, wk_p, wv_p, fc_p)
+    out = out[..., :tw].transpose(0, 1, 3, 2, 4).reshape(n, hp, wp)
+    return out[:, :h, :w]

@@ -136,3 +136,31 @@ def test_creff_qkv_fused_matches_composed():
         interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_creff_phase2_argmax_matches_composed():
+    """Head-fused inference kernel vs the composed chain (dwconv QKV ->
+    attention -> residual -> final_conv -> argmax)."""
+    from arseg_tpu.ops.pallas_creff import creff_phase2_argmax
+    from arseg_tpu.ops.local_attention import _module_composed
+    from arseg_tpu.nn import functional as Fn
+
+    rng = np.random.RandomState(11)
+    c, ncls = 8, 5
+    lr_up = jnp.asarray(rng.randn(1, 21, 27, c).astype(np.float32))
+    ref = jnp.asarray(rng.randn(1, 21, 27, c).astype(np.float32))
+    convs = [
+        {
+            "weight": jnp.asarray(rng.randn(3, 3, 1, c).astype(np.float32)),
+            "bias": jnp.asarray(rng.randn(c).astype(np.float32)),
+        }
+        for _ in range(3)
+    ]
+    fc = {
+        "weight": jnp.asarray(rng.randn(1, 1, c, ncls).astype(np.float32)),
+        "bias": jnp.asarray(rng.randn(ncls).astype(np.float32)),
+    }
+    fused = _module_composed(lr_up, ref, *convs, 7, 7)
+    want = np.argmax(np.asarray(Fn.conv2d(fc, fused)), axis=-1)
+    got = creff_phase2_argmax(lr_up, ref, *convs, fc, 7, 7, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), want)

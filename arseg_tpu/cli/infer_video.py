@@ -1,0 +1,83 @@
+"""AR video inference CLI: run the GOP pipeline over a decoded sequence.
+
+Consumes the label-free sequence layout (`CamVidWithFlowTest`,
+reference `dataset/camvid.py:1153-1426`): decoded frames `NNNNN.png`,
+keyframes under --ref_path, merged MV bins under --flow_path. Emits per-frame
+argmax class maps (and optional CamVid-palette PNGs) using the whole-GOP
+jitted AR pipeline (HR keyframe amortized over ref_gap-1 LR frames).
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="AR video inference over a decoded sequence.")
+    p.add_argument("--data_path", required=True, help="decoded frame dir (NNNNN.png)")
+    p.add_argument("--ref_path", required=True, help="decoded keyframe dir")
+    p.add_argument("--flow_path", required=True, help="merged MV bin dir")
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--hr_snapshot", required=True)
+    p.add_argument("--ar_snapshot", required=True)
+    p.add_argument("--backend", default="camvid-psp18")
+    p.add_argument("--ref_gap", type=int, default=12)
+    p.add_argument("--scale", type=float, default=0.5)
+    p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--lr_chunk", type=int, default=2)
+    p.add_argument("--colorize", action="store_true")
+    p.add_argument("--flow_shape", type=int, nargs=2, default=None)
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from arseg_tpu.data.camvid import CamVidWithFlowTest, FLOW_SHAPE
+    from arseg_tpu.gop import ARPipeline
+    from arseg_tpu.models import build_model
+    from arseg_tpu.utils.checkpoint import load_checkpoint
+    from arseg_tpu.utils.profiling import StepTimer
+
+    hr_model = build_model(args.backend, fuse=False)
+    ar_model = build_model(args.backend, fuse=True)
+    hr_params = load_checkpoint(args.hr_snapshot)["params"]
+    ar_params = load_checkpoint(args.ar_snapshot)["params"]
+
+    flow_shape = tuple(args.flow_shape) + (2,) if args.flow_shape else FLOW_SHAPE
+    ds = CamVidWithFlowTest(
+        args.data_path, ref_gap=args.ref_gap, ref_path=args.ref_path,
+        flow_path=args.flow_path, flow_shape=flow_shape,
+    )
+    pipe = ARPipeline(
+        hr_model, ar_model, scale=args.scale, dtype=jnp.dtype(args.dtype),
+        lr_chunk=args.lr_chunk,
+    )
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    g = args.ref_gap
+    names = [os.path.basename(p_)[:-4] for p_ in ds.data]
+    timer = StepTimer(frames_per_step=g)
+    n_gops = len(ds) // g
+    for gi in range(n_gops):
+        samples = [ds[gi * g + k] for k in range(g)]
+        keyframe = jnp.asarray(samples[0]["image"][None])
+        frames = jnp.asarray(np.stack([s["image"] for s in samples[1:]]))
+        flows = jnp.asarray(np.stack([s["flow"] for s in samples[1:]]))
+        with timer:
+            preds = np.asarray(pipe(hr_params, ar_params, keyframe, frames, flows))
+        for k in range(g):
+            out = preds[k].astype(np.uint8)
+            if args.colorize:
+                from arseg_tpu.tools.labels import index_to_rgb
+
+                out = index_to_rgb(out)
+            Image.fromarray(out).save(
+                os.path.join(args.out_dir, names[gi * g + k] + ".png")
+            )
+    print(f"{n_gops * g} frames -> {args.out_dir}  "
+          f"({timer.summary()['frames_per_sec']:.1f} frames/sec)")
+
+
+if __name__ == "__main__":
+    main()

@@ -186,10 +186,14 @@ def creff_fused_pallas(
 # would use; attention semantics identical to creff_fused_pallas.
 
 
-def _qkv_kernel(
-    lr_ref, ref_ref, wq_ref, wk_ref, wv_ref, out_ref, lbuf, rbuf, sems,
-    *, kh, kw, th, tw, twd, nh, nw, c, img_h, img_w,
+def _fused_module_body(
+    lr_ref, ref_ref, wq_ref, wk_ref, wv_ref, lbuf, rbuf, sems,
+    *, kh, kw, th, tw, twd, nh, nw, img_h, img_w,
 ):
+    """Shared body of the fused-MyAttention kernels: double-buffered halo
+    DMA of the lr/ref windows, in-VMEM 3x3 depthwise Q/K/V convs, banded
+    windowed attention, residual add. Returns the fused feature tile
+    [TH, TW, CP] in f32 (caller applies its epilogue + writes out)."""
     f32 = jnp.float32
     a = pl.program_id(0)
     i = pl.program_id(1)
@@ -284,7 +288,19 @@ def _qkv_kernel(
     acc = jax.lax.dot_general(p, vcat, dn_pv, preferred_element_type=f32, precision=prec)
     # residual: lr_up + attention (reference `model/attention.py:209-213`)
     resid = lwin[1 : 1 + th, 1 : 1 + tw, :].astype(f32)
-    out_ref[0] = (resid + acc)[..., :c].astype(out_ref.dtype)
+    return resid + acc  # [TH, TW, CP] f32
+
+
+def _qkv_kernel(
+    lr_ref, ref_ref, wq_ref, wk_ref, wv_ref, out_ref, lbuf, rbuf, sems,
+    *, kh, kw, th, tw, twd, nh, nw, c, img_h, img_w,
+):
+    fused = _fused_module_body(
+        lr_ref, ref_ref, wq_ref, wk_ref, wv_ref, lbuf, rbuf, sems,
+        kh=kh, kw=kw, th=th, tw=tw, twd=twd, nh=nh, nw=nw,
+        img_h=img_h, img_w=img_w,
+    )
+    out_ref[0] = fused[..., :c].astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
@@ -377,97 +393,18 @@ def _qkv_head_kernel(
 ):
     del n_classes
     f32 = jnp.float32
-    a = pl.program_id(0)
-    i = pl.program_id(1)
-    j = pl.program_id(2)
-    step = (a * nh + i) * nw + j
-    total = pl.num_programs(0) * nh * nw
-    slot = jax.lax.rem(step, 2)
-    ph = kh // 2
-    hw = th + kh + 1
-
-    def dma(dst_slot, a2, i2, j2, which):
-        if which == 0:
-            return pltpu.make_async_copy(
-                lr_ref.at[a2, pl.ds(i2 * th, th + 2), pl.ds(j2 * tw, twd), :],
-                lbuf.at[dst_slot],
-                sems.at[dst_slot, 0],
-            )
-        return pltpu.make_async_copy(
-            ref_ref.at[a2, pl.ds(i2 * th, hw), pl.ds(j2 * tw, twd), :],
-            rbuf.at[dst_slot],
-            sems.at[dst_slot, 1],
-        )
-
-    @pl.when(step == 0)
-    def _warmup():
-        dma(slot, a, i, j, 0).start()
-        dma(slot, a, i, j, 1).start()
-
-    @pl.when(step + 1 < total)
-    def _prefetch():
-        nxt = step + 1
-        j2 = jax.lax.rem(nxt, nw)
-        i2 = jax.lax.rem(nxt // nw, nh)
-        a2 = nxt // (nh * nw)
-        nslot = jax.lax.rem(nxt, 2)
-        dma(nslot, a2, i2, j2, 0).start()
-        dma(nslot, a2, i2, j2, 1).start()
-
-    dma(slot, a, i, j, 0).wait()
-    dma(slot, a, i, j, 1).wait()
-
-    lwin = lbuf[slot]
-    rwin = rbuf[slot]
-
-    def dw(win, w_ref, rows, cols):
-        wgt = w_ref[0]
-        acc = None
-        for b in range(3):
-            col = win[:, b : b + cols, :]
-            for a_ in range(3):
-                term = col[a_ : a_ + rows].astype(f32) * wgt[a_, b][None, None, :].astype(f32)
-                acc = term if acc is None else acc + term
-        return acc + w_ref[1, 0, 0][None, None, :].astype(f32)
-
-    q = dw(lwin, wq_ref, th, tw).astype(lwin.dtype)
-    k = dw(rwin, wk_ref, th + kh - 1, twd - 2)
-    v = dw(rwin, wv_ref, th + kh - 1, twd - 2)
-    gr = jax.lax.broadcasted_iota(jnp.int32, (th + kh - 1, twd - 2, 1), 0) + i * th - ph
-    gc = jax.lax.broadcasted_iota(jnp.int32, (th + kh - 1, twd - 2, 1), 1) + j * tw - (kw // 2)
-    valid = (gr >= 0) & (gr < img_h) & (gc >= 0) & (gc < img_w)
-    k = jnp.where(valid, k, 0.0).astype(rwin.dtype)
-    v = jnp.where(valid, v, 0.0).astype(rwin.dtype)
-
-    twh = tw + kw - 1
-    twp = _cdiv(twd - 2, 128) * 128
-    pad_w = twp - (twd - 2)
-    kcat = jnp.concatenate(
-        [jnp.pad(k[dy : dy + th], ((0, 0), (0, pad_w), (0, 0))) for dy in range(kh)],
-        axis=1,
-    )
-    vcat = jnp.concatenate(
-        [jnp.pad(v[dy : dy + th], ((0, 0), (0, pad_w), (0, 0))) for dy in range(kh)],
-        axis=1,
-    )
-    dn_qk = (((2,), (2,)), ((0,), (0,)))
-    dn_pv = (((2,), (1,)), ((0,), (0,)))
-    prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
-    logits = jax.lax.dot_general(q, kcat, dn_qk, preferred_element_type=f32, precision=prec)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (tw, kh * twp), 1) % twp
-    xx = jax.lax.broadcasted_iota(jnp.int32, (tw, kh * twp), 0)
-    band = (jj >= xx) & (jj < xx + kw) & (jj < twh)
-    sall = jnp.where(band[None], logits, jnp.float32(-jnp.inf))
-    m = jnp.max(sall, axis=2)
-    e = jnp.exp(sall - m[..., None])
-    p = (e / jnp.sum(e, axis=2)[..., None]).astype(v.dtype)
-    acc = jax.lax.dot_general(p, vcat, dn_pv, preferred_element_type=f32, precision=prec)
-    fused = lwin[1 : 1 + th, 1 : 1 + tw, :].astype(f32) + acc  # [TH, TW, CP]
+    fused = _fused_module_body(
+        lr_ref, ref_ref, wq_ref, wk_ref, wv_ref, lbuf, rbuf, sems,
+        kh=kh, kw=kw, th=th, tw=tw, twd=twd, nh=nh, nw=nw,
+        img_h=img_h, img_w=img_w,
+    )  # [TH, TW, CP]
 
     # head: 1x1 conv as GEMM + argmax (log_softmax is monotonic -> skipped)
+    in_dtype = lr_ref.dtype if hasattr(lr_ref, "dtype") else fused.dtype
+    prec = jax.lax.Precision.HIGHEST if in_dtype == jnp.float32 else None
     wfc = fc_ref[0]  # [CP, NCP]
     cls = jax.lax.dot_general(
-        fused.astype(lwin.dtype), wfc,
+        fused.astype(in_dtype), wfc,
         (((2,), (0,)), ((), ())), preferred_element_type=f32, precision=prec,
     ) + fc_ref[1, 0][None, None, :].astype(f32)
     pred = jnp.argmax(cls, axis=-1).astype(jnp.int32)  # [TH, TW]

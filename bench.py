@@ -16,6 +16,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from arseg_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
 GOP = 12
 H, W = 720, 960
 SCALE = 0.5

@@ -63,7 +63,11 @@ def main(argv=None):
         samples = [ds[gi * g + k] for k in range(g)]
         keyframe = jnp.asarray(samples[0]["image"][None])
         frames = jnp.asarray(np.stack([s["image"] for s in samples[1:]]))
-        flows = jnp.asarray(np.stack([s["flow"] for s in samples[1:]]))
+        flows_np = np.stack([s["flow"] for s in samples[1:]])
+        flows = (
+            jnp.asarray(np.ascontiguousarray(flows_np[..., 0])),
+            jnp.asarray(np.ascontiguousarray(flows_np[..., 1])),
+        )
         with timer:
             preds = np.asarray(pipe(hr_params, ar_params, keyframe, frames, flows))
         for k in range(g):

@@ -50,7 +50,7 @@ class ARPipeline:
     full input resolution for all GOP frames (keyframe via the HR branch).
     """
 
-    def __init__(self, hr_model, lr_model, scale=0.5, dtype=jnp.float32, lr_chunk=2):
+    def __init__(self, hr_model, lr_model, scale=0.5, dtype=jnp.float32, lr_chunk=1):
         self.hr_model = hr_model
         self.lr_model = lr_model
         self.scale = scale
@@ -61,8 +61,10 @@ class ARPipeline:
         # CReFF runs at HR feature resolution; the halo-tiled k/v for the
         # fused kernel cost ~0.5 GB/frame fp32, so a fully-batched GOP would
         # exceed a v5e chip's 16 GB. lax.map over fixed chunks serializes
-        # chunk execution (bounding live memory at chunk size) while keeping
-        # per-chunk compute batched on the MXU.
+        # chunk execution, bounding live memory at chunk size. chunk=1 is
+        # also the FASTEST (measured 47.4 / 41.3 / 36.7 fps at chunk 1/2/4,
+        # 720x960 bf16): one frame is already 691K pixels of MXU work, so
+        # batching adds memory pressure without utilization gains.
         self.lr_chunk = lr_chunk
         self._step = jax.jit(self._gop_step)
 
@@ -102,7 +104,9 @@ class ARPipeline:
         return jnp.argmax(out, axis=-1)
 
     def _gop_step(self, hr_params, lr_params, keyframe, frames, flows):
-        """keyframe [1,H,W,3]; frames [G-1,H,W,3]; flows [G-1,Hf,Wf,2]."""
+        """keyframe [1,H,W,3]; frames [G-1,H,W,3];
+        flows: (fx, fy) tuple of [G-1,Hf,Wf] planes (preferred — split on
+        host), or a packed [G-1,Hf,Wf,2] array (compat)."""
         g1, h, w, _ = frames.shape
         hr_params, lr_params, keyframe, frames = self._cast(
             (hr_params, lr_params, keyframe, frames)
@@ -112,10 +116,14 @@ class ARPipeline:
         key_logits = hr_out[0]
         ref_feat = hr_out[-1]  # [1, h_f, w_f, C]
 
-        # split the [..., 2] flow array into per-axis planes ONCE per GOP:
-        # a 2-channel NHWC array puts C=2 on the 128-lane axis, making every
-        # op that touches it ~64x more expensive than necessary
-        fx, fy = flows[..., 0], flows[..., 1]
+        if isinstance(flows, tuple):
+            fx, fy = flows
+        else:
+            # split the [..., 2] flow array into per-axis planes ONCE per
+            # GOP: C=2 on the 128-lane axis makes every op touching it ~64x
+            # more expensive than necessary (measured 3.7 ms/frame at
+            # 720x960 on v5e — callers should split in host numpy instead)
+            fx, fy = flows[..., 0], flows[..., 1]
 
         c = min(self.lr_chunk, g1)
         pad = (-g1) % c

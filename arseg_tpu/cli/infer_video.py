@@ -27,7 +27,7 @@ def main(argv=None):
     p.add_argument("--ref_gap", type=int, default=12)
     p.add_argument("--scale", type=float, default=0.5)
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
-    p.add_argument("--lr_chunk", type=int, default=2)
+    p.add_argument("--lr_chunk", type=int, default=1)
     p.add_argument("--colorize", action="store_true")
     p.add_argument("--flow_shape", type=int, nargs=2, default=None)
     args = p.parse_args(argv)

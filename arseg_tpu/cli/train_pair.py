@@ -35,6 +35,8 @@ def main(argv=None):
     p.add_argument("--teacher_snapshot", required=True)
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--seed", type=int, default=689)
+    p.add_argument("--bn_mode", default="sync", choices=["sync", "master"],
+                   help="BN stats: global-batch (sync) or DataParallel-faithful replica-0 (master)")
     args = p.parse_args(argv)
 
     train_phase2(
@@ -61,6 +63,7 @@ def main(argv=None):
         teacher_snapshot=args.teacher_snapshot,
         num_devices=args.num_devices,
         seed=args.seed,
+        bn_mode=args.bn_mode,
     )
 
 

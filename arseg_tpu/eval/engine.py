@@ -14,6 +14,16 @@ upsample logits -> histogram.
 TPU notes: each distinct input shape compiles once (shapes are fixed per
 dataset in the protocol); the histogram stays on device across the whole
 loop and comes back once.
+
+Sharded mode (`mesh=`): frames are sharded over the 1-D 'data' mesh axis
+(shard_map) and each device's confusion histogram is psum-reduced — the
+live TPU equivalent of the reference's dormant dist.all_reduce
+(`evaluation.py:134-135`). Ragged batches are padded with ignore-label
+frames (zero histogram contribution).
+
+`dtype=jnp.bfloat16` casts the frames at the step boundary — the model
+weights follow the input dtype — for serving-mode accuracy measurement
+(f32 is the parity mode).
 """
 
 import functools
@@ -21,8 +31,10 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
 
-from arseg_tpu.eval.metrics import confusion_update, miou_from_hist
+from arseg_tpu.eval.metrics import confusion_update, miou_from_hist, psum_hist
 from arseg_tpu.ops import resize_bilinear, warp_feature, scale_and_resize_flow
 
 
@@ -30,24 +42,63 @@ def _as_tuple(x):
     return x if isinstance(x, tuple) else (x,)
 
 
-@functools.lru_cache(maxsize=64)
-def _const_step(model, scale, n_classes, ignore_label):
-    @jax.jit
-    def step(params, hist, image, label):
+def _pad_to_multiple(arrs, n, label_key, ignore_label):
+    """Pad dict-of-arrays along dim 0 to a multiple of n; padded frames get
+    label == ignore_label so they contribute nothing to the histogram."""
+    b = next(iter(arrs.values())).shape[0]
+    pad = (-b) % n
+    if pad == 0:
+        return arrs
+    out = {}
+    for k, v in arrs.items():
+        pw = [(0, pad)] + [(0, 0)] * (v.ndim - 1)
+        if k == label_key:
+            out[k] = np.pad(np.asarray(v), pw, constant_values=ignore_label)
+        else:
+            out[k] = np.pad(np.asarray(v), pw)
+    return out
+
+
+def _const_hist(model, scale, n_classes, ignore_label, dtype):
+    def local(params, image, label):
+        if dtype is not None:
+            image = image.astype(dtype)
         h, w = image.shape[1], image.shape[2]
         x = resize_bilinear(image, (int(h * scale), int(w * scale)), align_corners=True)
         logits = _as_tuple(model.apply(params, x))[0]
         logits = resize_bilinear(logits, label.shape[1:3], align_corners=True)
         pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        hist = jnp.zeros((n_classes, n_classes), dtype=jnp.float32)
         return confusion_update(hist, label, pred, n_classes, ignore_label)
+
+    return local
+
+
+@functools.lru_cache(maxsize=64)
+def _const_step(model, scale, n_classes, ignore_label, dtype, mesh):
+    local = _const_hist(model, scale, n_classes, ignore_label, dtype)
+    if mesh is not None:
+        body = shard_map(
+            lambda p, im, lb: psum_hist(local(p, im, lb)),
+            mesh=mesh,
+            in_specs=(P(), P("data"), P("data")),
+            out_specs=P(),
+        )
+    else:
+        body = local
+
+    @jax.jit
+    def step(params, hist, image, label):
+        return hist + body(params, image, label)
 
     return step
 
 
-@functools.lru_cache(maxsize=64)
-def _alter_step(highres_model, model, scale, n_classes, ignore_label):
-    @jax.jit
-    def step(hr_params, params, hist, image, label, ref_image, fx, fy):
+def _alter_hist(highres_model, model, scale, n_classes, ignore_label, dtype):
+    def local(hr_params, params, image, label, ref_image, fx, fy):
+        if dtype is not None:
+            image = image.astype(dtype)
+            ref_image = ref_image.astype(dtype)
         ref_feat = _as_tuple(highres_model.apply(hr_params, ref_image))[-1]
         # flow arrives as host-split (fx, fy) planes — a packed [..., 2]
         # array costs a ~3.7 ms/frame lane relayout on device
@@ -68,21 +119,48 @@ def _alter_step(highres_model, model, scale, n_classes, ignore_label):
             out, _ = model.forward_phase2(params, feat, warped)
             logits = resize_bilinear(out, label.shape[1:3], align_corners=True)
             pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        hist = jnp.zeros((n_classes, n_classes), dtype=jnp.float32)
         return confusion_update(hist, label, pred, n_classes, ignore_label)
+
+    return local
+
+
+@functools.lru_cache(maxsize=64)
+def _alter_step(highres_model, model, scale, n_classes, ignore_label, dtype, mesh):
+    local = _alter_hist(highres_model, model, scale, n_classes, ignore_label, dtype)
+    if mesh is not None:
+        body = shard_map(
+            lambda hp, p, im, lb, ri, fx, fy: psum_hist(local(hp, p, im, lb, ri, fx, fy)),
+            mesh=mesh,
+            in_specs=(P(), P(), P("data"), P("data"), P("data"), P("data"), P("data")),
+            out_specs=P(),
+        )
+    else:
+        body = local
+
+    @jax.jit
+    def step(hr_params, params, hist, image, label, ref_image, fx, fy):
+        return hist + body(hr_params, params, image, label, ref_image, fx, fy)
 
     return step
 
 
 class EvalConstRes:
-    def __init__(self, scale=0.5, ignore_label=255, nanmean=False):
+    def __init__(self, scale=0.5, ignore_label=255, nanmean=False, mesh=None, dtype=None):
         self.scale = scale
         self.ignore_label = ignore_label
         self.nanmean = nanmean
+        self.mesh = mesh
+        self.dtype = dtype
 
     def __call__(self, model, params, loader, n_classes, progress=None):
-        step = _const_step(model, self.scale, n_classes, self.ignore_label)
+        step = _const_step(model, self.scale, n_classes, self.ignore_label,
+                           self.dtype, self.mesh)
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
         hist = jnp.zeros((n_classes, n_classes), dtype=jnp.float32)
         for batch in loader:
+            if n_dev > 1:
+                batch = _pad_to_multiple(batch, n_dev, "label", self.ignore_label)
             hist = step(params, hist, batch["image"], batch["label"])
             if progress:
                 progress()
@@ -90,16 +168,29 @@ class EvalConstRes:
 
 
 class EvalAlterRes:
-    def __init__(self, scale=0.5, ignore_label=255, nanmean=False):
+    def __init__(self, scale=0.5, ignore_label=255, nanmean=False, mesh=None, dtype=None):
         self.scale = scale
         self.ignore_label = ignore_label
         self.nanmean = nanmean
+        self.mesh = mesh
+        self.dtype = dtype
 
     def __call__(self, highres_model, hr_params, model, params, loader, n_classes, progress=None):
-        step = _alter_step(highres_model, model, self.scale, n_classes, self.ignore_label)
+        step = _alter_step(highres_model, model, self.scale, n_classes,
+                           self.ignore_label, self.dtype, self.mesh)
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
         hist = jnp.zeros((n_classes, n_classes), dtype=jnp.float32)
         for batch in loader:
             flow = np.asarray(batch["flow"])
+            batch = {
+                "image": batch["image"],
+                "label": batch["label"],
+                "ref_image": batch["ref_image"],
+                "fx": np.ascontiguousarray(flow[..., 0]),
+                "fy": np.ascontiguousarray(flow[..., 1]),
+            }
+            if n_dev > 1:
+                batch = _pad_to_multiple(batch, n_dev, "label", self.ignore_label)
             hist = step(
                 hr_params,
                 params,
@@ -107,8 +198,8 @@ class EvalAlterRes:
                 batch["image"],
                 batch["label"],
                 batch["ref_image"],
-                np.ascontiguousarray(flow[..., 0]),
-                np.ascontiguousarray(flow[..., 1]),
+                batch["fx"],
+                batch["fy"],
             )
             if progress:
                 progress()

@@ -97,11 +97,21 @@ def run_protocol(
     num_workers=4,
     verbose=True,
     flow_shape=None,
+    mesh=None,
+    dtype=None,
 ):
     info = DATASET_INFO[dataset]
     bitrate, n_classes = info["bitrate"], info["n_classes"]
     backend = f"{dataset}-{backbone}"
     results = {}
+
+    # sharded eval: frames spread over the data mesh; keep every frame
+    # (padding inside the engines handles ragged tails) and feed full
+    # device-count batches
+    n_dev = mesh.devices.size if mesh is not None else 1
+    if n_dev > 1:
+        batch_size = max(batch_size, n_dev)
+    eval_kw = dict(mesh=mesh, dtype=dtype)
 
     hr_snapshot = find_hr_snapshot(ckpt_root, dataset, backbone)
     hr_model = build_model(backend, fuse=False)
@@ -113,14 +123,14 @@ def run_protocol(
 
     def make_loader(ds):
         return Loader(ds, batch_size=batch_size, shuffle=False,
-                      num_workers=num_workers, drop_last=True)
+                      num_workers=num_workers, drop_last=(n_dev == 1))
 
     if mode[0]:  # HR
         mious = []
         for ref_gap in range(1, gop + 1):
             data_path, _, _ = _seq_paths(data_root, dataset, bitrate, gop, ref_gap)
             ds = _make_dataset(dataset, data_path, backbone)
-            miou = EvalConstRes(scale=1.0)(hr_model, hr_params, make_loader(ds), n_classes)
+            miou = EvalConstRes(scale=1.0, **eval_kw)(hr_model, hr_params, make_loader(ds), n_classes)
             log(ref_gap, "HR", "1.0x", miou)
             mious.append(miou)
         results["HR"] = _write_result(
@@ -138,12 +148,12 @@ def run_protocol(
             data_path, flow_path, ref_path = _seq_paths(data_root, dataset, bitrate, gop, ref_gap)
             if ref_gap > 1:
                 ds = _make_dataset(dataset, data_path, backbone, ref_gap, flow_path, ref_path, flow_shape)
-                miou = EvalAlterRes(scale=test_scale)(
+                miou = EvalAlterRes(scale=test_scale, **eval_kw)(
                     hr_model, hr_params, ar_model, ar_params, make_loader(ds), n_classes
                 )
             else:  # distance 0 == pure HR on the keyframe
                 ds = _make_dataset(dataset, data_path, backbone)
-                miou = EvalConstRes(scale=1.0)(hr_model, hr_params, make_loader(ds), n_classes)
+                miou = EvalConstRes(scale=1.0, **eval_kw)(hr_model, hr_params, make_loader(ds), n_classes)
             log(ref_gap, "AR", test_scale, miou)
             mious.append(miou)
         results["AR"] = _write_result(
@@ -160,7 +170,7 @@ def run_protocol(
         for ref_gap in range(1, gop + 1):
             data_path, _, _ = _seq_paths(data_root, dataset, bitrate, gop, ref_gap)
             ds = _make_dataset(dataset, data_path, backbone)
-            miou = EvalConstRes(scale=test_scale)(lr_model, lr_params, make_loader(ds), n_classes)
+            miou = EvalConstRes(scale=test_scale, **eval_kw)(lr_model, lr_params, make_loader(ds), n_classes)
             log(ref_gap, "LR", test_scale, miou)
             mious.append(miou)
         results["LR"] = _write_result(

@@ -153,8 +153,8 @@ def creff_fused_pallas(
             pl.BlockSpec(
                 (1, th, tw, cp), lambda a, b, d: (a, b, d, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, th, tw, c), lambda a, b, d: (a, b, d, 0), memory_space=pltpu.VMEM
@@ -356,8 +356,8 @@ def creff_qkv_fused(
         out_shape=jax.ShapeDtypeStruct((n, hp, wp, c), lr_up.dtype),
         grid=(n, nh, nw),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             wspec,
             wspec,
             wspec,
@@ -475,8 +475,8 @@ def creff_phase2_argmax(
         out_shape=jax.ShapeDtypeStruct((n, nh, nw, th, 128), jnp.int32),
         grid=(n, nh, nw),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             wspec,
             wspec,
             wspec,

@@ -3,9 +3,17 @@
 TPU-native data parallelism (replaces nn.DataParallel, `train.py:41,167`):
 params are replicated and the batch is sharded over the 1-D 'data' mesh axis
 via NamedSharding; under jit, XLA inserts the gradient all-reduce (psum over
-ICI) automatically because the loss is a mean over the global batch. This
-also gives cross-replica (sync) BatchNorm statistics — a deliberate upgrade
-over DataParallel's master-replica-only BN update, documented here.
+ICI) automatically because the loss is a mean over the global batch.
+
+BatchNorm statistics mode (`bn_mode`):
+  * "sync" (default): batch stats over the GLOBAL batch — a deliberate
+    upgrade over DataParallel's per-replica stats (better stats, same
+    expectation).
+  * "master": faithful nn.DataParallel semantics — per-replica batch stats
+    for normalization, and the running-stat momentum update keeps ONLY
+    replica 0's statistics (DataParallel re-broadcasts the master replica's
+    buffers every step). Use to A/B the sync-BN deviation against reference
+    training runs. Requires a mesh (shard_map over the 'data' axis).
 
 Non-trainable leaves (BN running stats) and frozen subtrees (the FST-frozen
 final_conv, `train_pair.py:259-263`) are excluded from the optimizer with
@@ -13,7 +21,10 @@ optax.masked.
 """
 
 import jax
+import jax.numpy as jnp
 import optax
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
 
 from arseg_tpu.nn import functional as Fn
 
@@ -46,18 +57,58 @@ def masked_optimizer(base, params, frozen_prefixes=()):
     )
 
 
-def make_train_step(loss_fn, optimizer):
+def make_train_step(loss_fn, optimizer, mesh=None, bn_mode="sync"):
     """Returns step(params, opt_state, teacher_params, batch, rng) ->
-    (params, opt_state, metrics)."""
+    (params, opt_state, metrics). See module docstring for bn_mode."""
+    if bn_mode not in ("sync", "master"):
+        raise ValueError(f"bn_mode must be 'sync' or 'master', got {bn_mode!r}")
+    if bn_mode == "master" and mesh is None:
+        raise ValueError("bn_mode='master' needs a mesh (per-replica stats)")
 
-    @jax.jit
-    def step(params, opt_state, teacher_params, batch, rng):
+    def _grads(params, teacher_params, batch, rng):
         def wrapped(p):
             ctx = Fn.Ctx(train=True, rng=rng)
             loss, metrics = loss_fn(p, teacher_params, batch, ctx)
             return loss, (metrics, ctx.bn_updates)
 
-        (_, (metrics, bn_updates)), grads = jax.value_and_grad(wrapped, has_aux=True)(params)
+        (_, aux), grads = jax.value_and_grad(wrapped, has_aux=True)(params)
+        return grads, aux
+
+    if bn_mode == "master":
+
+        def local(params, teacher_params, batch, rng):
+            grads, (metrics, bn_updates) = _grads(params, teacher_params, batch, rng)
+            # per-replica loss is a local-batch mean; pmean == global mean
+            grads = jax.lax.pmean(grads, "data")
+            metrics = jax.lax.pmean(metrics, "data")
+            # keep ONLY replica 0's batch stats (DataParallel master-replica
+            # buffer semantics): zero elsewhere, then one psum
+            keep = (jax.lax.axis_index("data") == 0).astype(jnp.float32)
+            bn_updates = jax.tree_util.tree_map(
+                lambda u: jax.lax.psum(u * keep.astype(u.dtype), "data"), bn_updates
+            )
+            return grads, metrics, bn_updates
+
+        sharded = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(), P("data"), P()),
+            out_specs=P(),
+        )
+
+        @jax.jit
+        def step(params, opt_state, teacher_params, batch, rng):
+            grads, metrics, bn_updates = sharded(params, teacher_params, batch, rng)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            params = Fn.apply_bn_updates(params, bn_updates)
+            return params, opt_state, metrics
+
+        return step
+
+    @jax.jit
+    def step(params, opt_state, teacher_params, batch, rng):
+        grads, (metrics, bn_updates) = _grads(params, teacher_params, batch, rng)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         params = Fn.apply_bn_updates(params, bn_updates)

@@ -111,17 +111,18 @@ def _load_params(path, backend_key=None):
 
 def _graft_final_conv(params, teacher_params, path):
     """load_decoder equivalent (`train.py:51-59`): copy the teacher's
-    final_conv into the student tree."""
+    final_conv into the student tree. Copy-on-write along the grafted path —
+    the caller's tree is never mutated (params dicts may be shared/reused)."""
     node = teacher_params
     for part in path.split("."):
         node = node[part]
-    out = params
-    cursor = out
-    parts = path.split(".")
-    for part in parts[:-1]:
-        cursor = cursor[part]
-    cursor[parts[-1]] = dict(node)
-    return out
+
+    def rebuild(tree, parts):
+        out = dict(tree)
+        out[parts[0]] = dict(node) if len(parts) == 1 else rebuild(tree[parts[0]], parts[1:])
+        return out
+
+    return rebuild(params, path.split("."))
 
 
 class TrainLoop:
@@ -175,6 +176,7 @@ def train_phase1(
     eval_every=1,
     cropsize=None,
     randomscale=None,
+    bn_mode="sync",
 ):
     policy = DATASET_POLICY[dataset]
     os.makedirs(models_path, exist_ok=True)
@@ -224,8 +226,9 @@ def train_phase1(
 
     loss_fn = build_phase1_loss(model, model_type, dataset, cropsize, scale,
                                 alpha, feat_loss, teacher_model)
-    step_fn = make_train_step(loss_fn, optimizer)
-    loop = TrainLoop(data_mesh(num_devices, batch_size), verbose=verbose)
+    mesh = data_mesh(num_devices, batch_size)
+    step_fn = make_train_step(loss_fn, optimizer, mesh=mesh, bn_mode=bn_mode)
+    loop = TrainLoop(mesh, verbose=verbose)
     params = replicate(params, loop.mesh)
 
     evaluator = EvalConstRes(scale=scale, ignore_label=255)
@@ -283,6 +286,7 @@ def train_phase2(
     flow_shape=None,
     cropsize=None,
     randomscale=None,
+    bn_mode="sync",
 ):
     policy = DATASET_POLICY[dataset]
     os.makedirs(models_path, exist_ok=True)
@@ -366,10 +370,11 @@ def train_phase2(
         model, teacher_model, model_type, dataset, cropsize, scale,
         alpha, feat_loss, stage2, with_motion,
     )
-    step_stage1 = make_train_step(mk_loss(False), optimizer)
-    step_stage2 = make_train_step(mk_loss(True), optimizer)
+    mesh = data_mesh(num_devices, batch_size)
+    step_stage1 = make_train_step(mk_loss(False), optimizer, mesh=mesh, bn_mode=bn_mode)
+    step_stage2 = make_train_step(mk_loss(True), optimizer, mesh=mesh, bn_mode=bn_mode)
 
-    loop = TrainLoop(data_mesh(num_devices, batch_size), verbose=verbose)
+    loop = TrainLoop(mesh, verbose=verbose)
     params = replicate(params, loop.mesh)
 
     eval_stage2 = EvalAlterRes(scale=scale, ignore_label=255)

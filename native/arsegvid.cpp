@@ -470,9 +470,12 @@ extern "C" int arsegvid_gop_pipeline(const char *const *image_paths,
       std::fclose(fp);
       if (got != plane * 3) return fail("short bin " + p);
     }
+    /* every offset the ancestor chain can resolve is valid (f2 clamps at
+     * the keyframe); only negative = intra. No coupling to the carrier's
+     * ref= setting. */
     std::vector<int16_t> merged(plane * 2 * (merge_upto + 1));
-    if ((ret = arsegvid_merge_mv(bins.data(), merge_upto, h, w, 3,
-                                 merged.data())) < 0)
+    if ((ret = arsegvid_merge_mv(bins.data(), merge_upto, h, w,
+                                 merge_upto + 1, merged.data())) < 0)
       return ret;
     for (int f = 0; f <= merge_upto; f++) {
       std::string p = join_path(out_dir, "merged_test_%03d.bin", f);

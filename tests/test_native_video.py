@@ -130,3 +130,22 @@ def test_camvid_label_roundtrip():
     junk = np.full((5, 5, 3), 17, np.uint8)
     assert (rgb_to_index(junk) == 255).all()
     assert len(CAMVID_COLORMAP) == 12
+
+
+def test_mv_fidelity_multi_object():
+    """x264-carrier MV fidelity on multi-object synthetic content (VERDICT
+    round-1 item #4): the merged maps must be pixel-exact for the typical
+    pixel (median EPE 0 vs ground-truth motion; errors concentrate at
+    occlusion boundaries) and the warp must clearly beat no-compensation
+    photometrically."""
+    import tempfile
+    from arseg_tpu.tools.mv_fidelity import synth_frames, measure
+
+    with tempfile.TemporaryDirectory() as d:
+        paths, gt = synth_frames(d, n=6, h=96, w=160, seed=1)
+        rows = measure(paths, gop=6, bitrate_kbps=2000, gt=gt)
+    assert len(rows) == 5
+    for r in rows[:3]:
+        assert r["epe_p50"] <= 1.0, r
+    gains = [r["psnr_warp"] - r["psnr_nowarp"] for r in rows]
+    assert min(gains) > 3.0, rows

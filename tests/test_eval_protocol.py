@@ -111,3 +111,36 @@ def test_protocol_camvid_end_to_end(tmp_path):
     hr = np.loadtxt(str(tmp_path / "results" / "camvid-psp18-1.0x-resolution-exp-GOP3-3M-evaluation.txt"))
     ar = np.loadtxt(str(tmp_path / "results" / "camvid-psp18-AR-0.5x-resolution-exp-GOP3-3M-evaluation.txt"))
     assert hr[0] == pytest.approx(ar[0], rel=1e-6)
+
+
+def test_engine_dtype_modes():
+    """bf16 serving mode through the eval engines stays close to f32 parity
+    mode (PARITY.md §2): same protocol, same frames, dtype knob only."""
+    import jax.numpy as jnp
+    from arseg_tpu.models import build_model
+    from arseg_tpu.eval.engine import EvalConstRes, EvalAlterRes
+
+    rng = np.random.RandomState(7)
+    model = build_model("camvid-psp18", fuse=False)
+    params = model.init(jax.random.PRNGKey(3))
+    fuse = build_model("camvid-psp18", fuse=True)
+    fuse_params = fuse.init(jax.random.PRNGKey(4))
+    n = 4
+    batches = [
+        {
+            "image": rng.randn(1, 48, 64, 3).astype(np.float32),
+            "label": rng.randint(0, 12, (1, 48, 64)).astype(np.int32),
+            "ref_image": rng.randn(1, 48, 64, 3).astype(np.float32),
+            "flow": rng.uniform(-3, 3, (1, 48, 64, 2)).astype(np.float32),
+        }
+        for _ in range(n)
+    ]
+    m32 = EvalConstRes(scale=0.5)(model, params, batches, 12)
+    m16 = EvalConstRes(scale=0.5, dtype=jnp.bfloat16)(model, params, batches, 12)
+    assert abs(m32 - m16) < 0.1, (m32, m16)
+
+    a32 = EvalAlterRes(scale=0.5)(model, params, fuse, fuse_params, batches, 12)
+    a16 = EvalAlterRes(scale=0.5, dtype=jnp.bfloat16)(
+        model, params, fuse, fuse_params, batches, 12
+    )
+    assert abs(a32 - a16) < 0.1, (a32, a16)

@@ -1,6 +1,9 @@
 """End-to-end model parity: reference torch models (random init, eval mode)
 vs arseg_tpu functional models with converted weights."""
 
+import os
+import sys
+
 import numpy as np
 import pytest
 import torch
@@ -237,3 +240,41 @@ def test_bn_training_stats_match_torch():
     np.testing.assert_allclose(
         np.asarray(new_params["bn"]["running_var"]), tbn.running_var.numpy(), rtol=1e-5, atol=1e-6
     )
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/tmp/ref_ckpt.pth"), reason="no released checkpoint"
+)
+@pytest.mark.slow
+def test_real_checkpoint_parity():
+    """Released reference checkpoint loads strict-clean through the converter
+    and reproduces the torch oracle's predictions (PARITY.md §1)."""
+    import torch
+    from reference_oracle import install_reference
+    from arseg_tpu.utils.torch_convert import load_torch_checkpoint
+
+    install_reference()
+    sys.path.insert(0, "/root/reference")
+    from model import pspnet as ref_pspnet
+
+    sd = torch.load("/tmp/ref_ckpt.pth", map_location="cpu", weights_only=False)
+    sd = {(k[7:] if k.startswith("module.") else k): v for k, v in sd.items()}
+    ref = ref_pspnet.PSPNet(
+        n_classes=12, sizes=(1, 2, 3, 6), psp_size=512,
+        deep_features_size=256, backend="resnet18", pretrained=False,
+    )
+    missing, unexpected = ref.load_state_dict(sd, strict=False)
+    assert not missing and not unexpected
+    ref.eval()
+
+    model = build_model("camvid-psp18", fuse=False)
+    params = load_torch_checkpoint("/tmp/ref_ckpt.pth", "camvid-psp18")
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 240, 320, 3).astype(np.float32) * 0.8
+    with torch.no_grad():
+        t_out = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))[0].numpy()
+    t_out = t_out.transpose(0, 2, 3, 1)
+    j_out = np.asarray(model.apply(params, jnp.asarray(x))[0], np.float32)
+    assert np.abs(j_out - t_out).max() < 1e-3
+    assert (j_out.argmax(-1) == t_out.argmax(-1)).mean() > 0.999

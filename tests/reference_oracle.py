@@ -90,12 +90,17 @@ def install_reference():
         tv.models = tvm
         tvm.densenet = dn
         tvm.squeezenet = sq
+        # dataset modules do `import torchvision.transforms` at module scope
+        # (used only inside their __getitem__, which oracle tests never call)
+        tvt = types.ModuleType("torchvision.transforms")
+        tv.transforms = tvt
         sys.modules.update(
             {
                 "torchvision": tv,
                 "torchvision.models": tvm,
                 "torchvision.models.densenet": dn,
                 "torchvision.models.squeezenet": sq,
+                "torchvision.transforms": tvt,
             }
         )
 

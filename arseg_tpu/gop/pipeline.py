@@ -65,6 +65,12 @@ class ARPipeline:
         # also the FASTEST (measured 47.4 / 41.3 / 36.7 fps at chunk 1/2/4,
         # 720x960 bf16): one frame is already 691K pixels of MXU work, so
         # batching adds memory pressure without utilization gains.
+        # KNOWN ISSUE (v5e, Mosaic/jax 0.9): lr_chunk>1 on camvid-bise18
+        # crashes the TPU worker / hangs the compile in the FULL composed
+        # program, while every stage (fused CReFF at n=4, warp, resizes,
+        # phase1/phase2, lax.map+CReFF) passes in isolation — a compiler
+        # scheduling pathology, not a per-op bug. chunk=1 is the validated
+        # serving config on real hardware.
         self.lr_chunk = lr_chunk
         self._step = jax.jit(self._gop_step)
 

@@ -91,17 +91,18 @@ class ARPipeline:
         except TypeError:
             return self.lr_model.forward_phase2(lr_params, feat, warped)
 
-    def _lr_branch(self, lr_params, frames, flow_planes, ref_feat):
-        """LR branch for a batch of frames: resize -> phase1 -> warp -> CReFF.
+    def _lr_branch(self, lr_params, x, flow_planes, ref_feat, out_hw):
+        """LR branch for a batch of frames: phase1 -> warp -> CReFF.
 
-        flow_planes: (fx, fy) [n, Hf, Wf] pixel-displacement planes (already
-        split out of the lane-hostile [..., 2] layout, once per GOP)."""
-        n, h, w, _ = frames.shape
-        f = _resize_flow_planes(flow_planes, ref_feat.shape[1:3])
+        x: frames ALREADY resized to the LR scale (hoisted out of the
+        per-frame lax.map and batched — resizes are matmul-shaped, so one
+        [G-1, ...] call beats G-1 single-frame calls);
+        flow_planes: (fx, fy) [n, Hf, Wf] planes already magnitude-rescaled
+        and resampled to the feature resolution (hoisted likewise)."""
+        n = x.shape[0]
+        h, w = out_hw
         ref_rep = jnp.broadcast_to(ref_feat, (n,) + ref_feat.shape[1:])
-        warped = warp_feature(ref_rep, f)
-        x = resize_bilinear(frames, (int(h * self.scale), int(w * self.scale)),
-                            align_corners=True)
+        warped = warp_feature(ref_rep, flow_planes)
         feat = _as_tuple(self.lr_model.forward_phase1(lr_params, x))[-1]
         if hasattr(self.lr_model, "forward_phase2_argmax") and warped.shape[1:3] == (h, w):
             return self.lr_model.forward_phase2_argmax(lr_params, feat, warped)
@@ -131,18 +132,29 @@ class ARPipeline:
             # 720x960 on v5e — callers should split in host numpy instead)
             fx, fy = flows[..., 0], flows[..., 1]
 
+        # hoist the batched, matmul-shaped preprocessing out of the
+        # per-frame map: one flow resample + one frame resize over all G-1
+        # frames beats G-1 single-frame calls (lane/MXU utilization)
+        fx, fy = _resize_flow_planes((fx, fy), ref_feat.shape[1:3])
+        x_lr = resize_bilinear(
+            frames, (int(h * self.scale), int(w * self.scale)),
+            align_corners=True,
+        )
+
         c = min(self.lr_chunk, g1)
         pad = (-g1) % c
-        frames_p = jnp.pad(frames, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        x_p = jnp.pad(x_lr, ((0, pad), (0, 0), (0, 0), (0, 0)))
         fx_p = jnp.pad(fx, ((0, pad), (0, 0), (0, 0)))
         fy_p = jnp.pad(fy, ((0, pad), (0, 0), (0, 0)))
-        frames_c = frames_p.reshape(-1, c, *frames.shape[1:])
+        x_c = x_p.reshape(-1, c, *x_lr.shape[1:])
         fx_c = fx_p.reshape(-1, c, *fx.shape[1:])
         fy_c = fy_p.reshape(-1, c, *fy.shape[1:])
 
         preds = jax.lax.map(
-            lambda args: self._lr_branch(lr_params, args[0], (args[1], args[2]), ref_feat),
-            (frames_c, fx_c, fy_c),
+            lambda args: self._lr_branch(
+                lr_params, args[0], (args[1], args[2]), ref_feat, (h, w)
+            ),
+            (x_c, fx_c, fy_c),
         )
         preds = preds.reshape(-1, h, w)[:g1]
 

@@ -82,8 +82,13 @@ def main(argv=None):
             Image.fromarray(out).save(
                 os.path.join(args.out_dir, names[gi * g + k] + ".png")
             )
-    print(f"{n_gops * g} frames -> {args.out_dir}  "
-          f"({timer.summary()['frames_per_sec']:.1f} frames/sec)")
+    s = timer.summary()
+    rate = (
+        f"{s['frames_per_sec']:.1f} frames/sec"
+        if s["steps"] > 1
+        else f"single GOP incl. compile: {s['mean_ms'] / 1e3:.1f}s"
+    )
+    print(f"{n_gops * g} frames -> {args.out_dir}  ({rate})")
 
 
 if __name__ == "__main__":

@@ -35,6 +35,9 @@ def main(argv=None):
     p.add_argument("--teacher_snapshot", required=True)
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--seed", type=int, default=689)
+    p.add_argument("--accum_steps", type=int, default=1,
+                   help="gradient-accumulation microbatches (single-chip "
+                        "route to reference-scale batches; train/step.py)")
     p.add_argument("--bn_mode", default="sync", choices=["sync", "master"],
                    help="BN stats: global-batch (sync) or DataParallel-faithful replica-0 (master)")
     args = p.parse_args(argv)
@@ -64,6 +67,7 @@ def main(argv=None):
         num_devices=args.num_devices,
         seed=args.seed,
         bn_mode=args.bn_mode,
+        accum_steps=args.accum_steps,
     )
 
 

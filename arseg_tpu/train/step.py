@@ -57,13 +57,26 @@ def masked_optimizer(base, params, frozen_prefixes=()):
     )
 
 
-def make_train_step(loss_fn, optimizer, mesh=None, bn_mode="sync"):
+def make_train_step(loss_fn, optimizer, mesh=None, bn_mode="sync",
+                    accum_steps=1):
     """Returns step(params, opt_state, teacher_params, batch, rng) ->
-    (params, opt_state, metrics). See module docstring for bn_mode."""
+    (params, opt_state, metrics). See module docstring for bn_mode.
+
+    accum_steps > 1 splits the batch into that many microbatches and
+    accumulates gradients over a lax.scan before the optimizer update —
+    the single-chip answer to reference-scale batches (batch 16 at 720x960,
+    `train.py:66`) whose full-batch backward exceeds the chip. Gradient =
+    mean over the global batch exactly (equal microbatches, mean losses);
+    BatchNorm batch statistics become per-MICRObatch (averaged into the
+    running stats) — the same statistics class as DataParallel's
+    per-replica stats, documented like bn_mode."""
     if bn_mode not in ("sync", "master"):
         raise ValueError(f"bn_mode must be 'sync' or 'master', got {bn_mode!r}")
     if bn_mode == "master" and mesh is None:
         raise ValueError("bn_mode='master' needs a mesh (per-replica stats)")
+    if accum_steps > 1 and (mesh is not None or bn_mode != "sync"):
+        raise ValueError("accum_steps>1 is the single-device path "
+                         "(shard over the mesh instead)")
 
     def _grads(params, teacher_params, batch, rng):
         def wrapped(p):
@@ -99,6 +112,44 @@ def make_train_step(loss_fn, optimizer, mesh=None, bn_mode="sync"):
         @jax.jit
         def step(params, opt_state, teacher_params, batch, rng):
             grads, metrics, bn_updates = sharded(params, teacher_params, batch, rng)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            params = Fn.apply_bn_updates(params, bn_updates)
+            return params, opt_state, metrics
+
+        return step
+
+    if accum_steps > 1:
+
+        @jax.jit
+        def step(params, opt_state, teacher_params, batch, rng):
+            k = accum_steps
+
+            def micro(x):
+                assert x.shape[0] % k == 0, (
+                    f"batch {x.shape[0]} not divisible by accum_steps {k}"
+                )
+                return x.reshape((k, x.shape[0] // k) + x.shape[1:])
+
+            mb = jax.tree_util.tree_map(micro, batch)
+            rngs = jax.random.split(rng, k)
+            first = jax.tree_util.tree_map(lambda x: x[0], mb)
+            g0, (m0, bn0) = _grads(params, teacher_params, first, rngs[0])
+
+            def body(carry, xs):
+                g_acc, m_acc, bn_acc = carry
+                mb_i, rng_i = xs
+                g, (m, bn) = _grads(params, teacher_params, mb_i, rng_i)
+                add = lambda a, b: jax.tree_util.tree_map(jnp.add, a, b)
+                return (add(g_acc, g), add(m_acc, m), add(bn_acc, bn)), None
+
+            rest = jax.tree_util.tree_map(lambda x: x[1:], mb)
+            (g, m, bn), _ = jax.lax.scan(body, (g0, m0, bn0), (rest, rngs[1:]))
+            inv = 1.0 / k
+            scale = lambda t: jax.tree_util.tree_map(
+                lambda x: (x * jnp.asarray(inv, x.dtype)), t
+            )
+            grads, metrics, bn_updates = scale(g), scale(m), scale(bn)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             params = Fn.apply_bn_updates(params, bn_updates)

@@ -177,6 +177,7 @@ def train_phase1(
     cropsize=None,
     randomscale=None,
     bn_mode="sync",
+    accum_steps=1,
 ):
     policy = DATASET_POLICY[dataset]
     os.makedirs(models_path, exist_ok=True)
@@ -227,7 +228,8 @@ def train_phase1(
     loss_fn = build_phase1_loss(model, model_type, dataset, cropsize, scale,
                                 alpha, feat_loss, teacher_model)
     mesh = data_mesh(num_devices, batch_size)
-    step_fn = make_train_step(loss_fn, optimizer, mesh=mesh, bn_mode=bn_mode)
+    step_fn = make_train_step(loss_fn, optimizer, mesh=mesh, bn_mode=bn_mode,
+                              accum_steps=accum_steps)
     loop = TrainLoop(mesh, verbose=verbose)
     params = replicate(params, loop.mesh)
 
@@ -287,6 +289,7 @@ def train_phase2(
     cropsize=None,
     randomscale=None,
     bn_mode="sync",
+    accum_steps=1,
 ):
     policy = DATASET_POLICY[dataset]
     os.makedirs(models_path, exist_ok=True)
@@ -371,8 +374,10 @@ def train_phase2(
         alpha, feat_loss, stage2, with_motion,
     )
     mesh = data_mesh(num_devices, batch_size)
-    step_stage1 = make_train_step(mk_loss(False), optimizer, mesh=mesh, bn_mode=bn_mode)
-    step_stage2 = make_train_step(mk_loss(True), optimizer, mesh=mesh, bn_mode=bn_mode)
+    step_stage1 = make_train_step(mk_loss(False), optimizer, mesh=mesh,
+                                  bn_mode=bn_mode, accum_steps=accum_steps)
+    step_stage2 = make_train_step(mk_loss(True), optimizer, mesh=mesh,
+                                  bn_mode=bn_mode, accum_steps=accum_steps)
 
     loop = TrainLoop(mesh, verbose=verbose)
     params = replicate(params, loop.mesh)

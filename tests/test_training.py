@@ -167,3 +167,40 @@ def test_data_parallel_step_matches_single_device():
     # drift at lr * that noise scale rather than exact equality.
     worst = max(float(jnp.max(jnp.abs(x - y))) for x, y in zip(a, b))
     assert worst < 5e-3, worst
+
+
+def test_grad_accumulation_step():
+    """accum_steps>1: gradient = global-batch mean via microbatch scan
+    (single-chip path for reference-scale batches, train/step.py)."""
+    import jax
+    import jax.numpy as jnp
+    from arseg_tpu.models import build_model
+    from arseg_tpu.train.objectives import build_phase1_loss
+    from arseg_tpu.train.optim import make_optimizer, cosine_schedule
+    from arseg_tpu.train.step import make_train_step, masked_optimizer
+
+    rng = np.random.RandomState(0)
+    h, w, batch = 48, 64, 4
+    model = build_model("camvid-psp18", fuse=False)
+    params = model.init(jax.random.PRNGKey(0))
+    loss_fn = build_phase1_loss(model, "pspnet", "camvid", (w, h), 1.0)
+    opt = masked_optimizer(
+        make_optimizer("adam", cosine_schedule(1e-3, 100)), params
+    )
+    step = make_train_step(loss_fn, opt, accum_steps=2)
+    data = {
+        "image": rng.randn(batch, h, w, 3).astype(np.float32),
+        "label": rng.randint(0, 12, (batch, h, w)).astype(np.int32),
+        "existence": np.ones((batch, 12), np.float32),
+    }
+    opt_state = opt.init(params)
+    losses = []
+    key = jax.random.PRNGKey(7)
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        params, opt_state, m = step(params, opt_state, None, data, sub)
+        losses.append(float(m["loss"]))
+    assert np.all(np.isfinite(losses)) and losses[-1] < losses[0]
+
+    with pytest.raises(ValueError):
+        make_train_step(loss_fn, opt, bn_mode="master", accum_steps=2)

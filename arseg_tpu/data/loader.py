@@ -107,3 +107,40 @@ class Loader:
                 yield item
         finally:
             stop.set()
+
+
+def device_prefetch(iterator, size: int = 2, sharding=None):
+    """Stage host batches onto the device `size` steps ahead of the
+    consumer: jax.device_put is async, so H2D transfers overlap the
+    previous steps' compute instead of serializing at each jit call
+    boundary (the transfer wall dominates whenever the host link is slow —
+    e.g. this sandbox's dev tunnel, PERF.md).
+
+    sharding: optional jax.sharding.Sharding (e.g. the data-mesh
+    NamedSharding) applied by the device_put, keeping the sharded-training
+    path zero-copy."""
+    import collections
+
+    import jax
+
+    def put(batch):
+        if sharding is None:
+            return jax.tree_util.tree_map(jax.device_put, batch)
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), batch
+        )
+
+    buf = collections.deque()
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out

@@ -135,15 +135,27 @@ class TrainLoop:
 
     def run_epoch(self, step_fn, params, opt_state, teacher_params, loader, rng, epoch):
         losses = []
-        for i, batch in enumerate(loader):
-            rng, sub = jax.random.split(rng)
-            batch = {
-                k: v
-                for k, v in batch.items()
-                if k in ("image", "label", "existence", "ref_image", "flow")
-            }
+
+        def staged():
+            # H2D staged 2 batches ahead (async device_put overlaps the
+            # transfer with the previous steps' compute; data/loader.py)
+            from arseg_tpu.data.loader import device_prefetch
+
+            def keep(b):
+                return {
+                    k: v
+                    for k, v in b.items()
+                    if k in ("image", "label", "existence", "ref_image", "flow")
+                }
+
+            it = (keep(b) for b in loader)
             if self.mesh.devices.size > 1:
-                batch = shard_batch(batch, self.mesh)
+                it = (shard_batch(b, self.mesh) for b in it)
+                return it  # shard_batch already places per-device shards
+            return device_prefetch(it, size=2)
+
+        for i, batch in enumerate(staged()):
+            rng, sub = jax.random.split(rng)
             params, opt_state, metrics = step_fn(params, opt_state, teacher_params, batch, sub)
             losses.append(metrics["loss"])
             if self.verbose and i % self.log_every == 0:

@@ -128,11 +128,13 @@ class CityScapesWithFlow(CityScapes):
         ref_gap=12,
         flow_path=None,
         ref_path=None,
+        flow_shape=FLOW_SHAPE,
         rng=None,
     ):
         super().__init__(rootpth, model_type, cropsize, mode, randomscale, rng)
         self.ref_gap = ref_gap
         self.flow_path = flow_path
+        self.flow_shape = tuple(flow_shape)
         self.ref_path = ref_path or os.path.join(rootpth, "leftImg8bit_sequence")
         self.trans_color = T.PairColorJitter(0.5, 0.5, 0.5, rng=self.rng)
         self.trans_homo = T.PairPipeline(
@@ -159,7 +161,7 @@ class CityScapesWithFlow(CityScapes):
                 self.flow_path, self.mode, scene, fn + "_gtFine_leftImg8bit.bin"
             ),
             dtype=np.int16,
-        ).reshape(FLOW_SHAPE).astype(np.float32) / 4.0
+        ).reshape(self.flow_shape).astype(np.float32) / 4.0
 
         if self.mode == "train":
             a, b = self.trans_color(dict(im=img, lb=label), dict(im=ref_img, lb=label))

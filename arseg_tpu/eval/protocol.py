@@ -62,9 +62,10 @@ def _make_dataset(dataset, data_path, backbone, ref_gap=None, flow_path=None, re
             data_path, mode="test", load_pair=True, ref_gap=ref_gap,
             flow_path=flow_path, ref_path=ref_path, **kw,
         )
+    kw = {"flow_shape": flow_shape} if flow_shape else {}
     return CityScapesWithFlow(
         data_path, model_type=f"{backbone[:-2]}net", mode="val",
-        ref_gap=ref_gap, flow_path=flow_path, ref_path=ref_path,
+        ref_gap=ref_gap, flow_path=flow_path, ref_path=ref_path, **kw,
     )
 
 

@@ -144,3 +144,56 @@ def test_engine_dtype_modes():
         model, params, fuse, fuse_params, batches, 12
     )
     assert abs(a32 - a16) < 0.1, (a32, a16)
+
+
+@pytest.mark.parametrize("backbone", ["psp18", "bise18"])
+def test_protocol_cityscapes_end_to_end(tmp_path, backbone):
+    """HR+AR protocol over a synthetic Cityscapes tree (leftImg8bit/gtFine
+    layout, sequence keyframes, MV bins): exercises the CityScapes(+WithFlow)
+    crawl, per-model normalization, trainId conversion, and the 19-class
+    mIoU_d loop for both backbones."""
+    from synthetic_data import make_cityscapes_tree, CS_FLOW_SHAPE
+
+    gop = 3
+    make_cityscapes_tree(str(tmp_path / "data"), gop=gop)
+
+    ck_root = tmp_path / "ckpt"
+    hr_dir = ck_root / f"cityscapes-{backbone}" / "HR"
+    ar_dir = ck_root / f"cityscapes-{backbone}" / "AR"
+    for d in (hr_dir, ar_dir):
+        os.makedirs(d)
+    plain = build_model(f"cityscapes-{backbone}", fuse=False)
+    fuse = build_model(f"cityscapes-{backbone}", fuse=True)
+    save_checkpoint(
+        str(hr_dir / "PSPNet_resnet18_1.0_1_.npz"),
+        plain.init(jax.random.PRNGKey(0)), {"scale": 1.0},
+    )
+    save_checkpoint(
+        str(ar_dir / "PSPNet_resnet18_0.5_1_.npz"),
+        fuse.init(jax.random.PRNGKey(1)), {"scale": 0.5},
+    )
+
+    results = run_protocol(
+        dataset="cityscapes",
+        backbone=backbone,
+        mode=(1, 0, 1),
+        gop=gop,
+        test_scale=0.5,
+        data_root=str(tmp_path / "data"),
+        ckpt_root=str(ck_root),
+        result_dir=str(tmp_path / "results"),
+        num_workers=2,
+        verbose=False,
+        flow_shape=CS_FLOW_SHAPE,
+    )
+    for key, fname in [
+        ("HR", f"cityscapes-{backbone}-1.0x-resolution-exp-GOP3-5M-evaluation.txt"),
+        ("AR", f"cityscapes-{backbone}-AR-0.5x-resolution-exp-GOP3-5M-evaluation.txt"),
+    ]:
+        vals = np.loadtxt(str(tmp_path / "results" / fname))
+        assert vals.shape == (gop + 1,)
+        assert np.all(np.isfinite(vals)) and np.all(vals >= 0)
+        assert results[key][-1] == pytest.approx(vals[-1], rel=1e-6)
+    hr = results["HR"]
+    ar = results["AR"]
+    assert hr[0] == pytest.approx(ar[0], rel=1e-6)

@@ -29,6 +29,8 @@ def main(argv=None):
                         "route to reference-scale batches; train/step.py)")
     p.add_argument("--bn_mode", default="sync", choices=["sync", "master"],
                    help="BN stats: global-batch (sync) or DataParallel-faithful replica-0 (master)")
+    p.add_argument("--cropsize", type=int, nargs=2, default=None, metavar=("W", "H"),
+                   help="override the per-dataset crop policy (reference hard-codes it)")
     args = p.parse_args(argv)
 
     train_phase1(
@@ -49,6 +51,7 @@ def main(argv=None):
         seed=args.seed,
         bn_mode=args.bn_mode,
         accum_steps=args.accum_steps,
+        cropsize=tuple(args.cropsize) if args.cropsize else None,
     )
 
 

@@ -74,7 +74,8 @@ def make_train_step(loss_fn, optimizer, mesh=None, bn_mode="sync",
         raise ValueError(f"bn_mode must be 'sync' or 'master', got {bn_mode!r}")
     if bn_mode == "master" and mesh is None:
         raise ValueError("bn_mode='master' needs a mesh (per-replica stats)")
-    if accum_steps > 1 and (mesh is not None or bn_mode != "sync"):
+    multi_device = mesh is not None and mesh.devices.size > 1
+    if accum_steps > 1 and (multi_device or bn_mode != "sync"):
         raise ValueError("accum_steps>1 is the single-device path "
                          "(shard over the mesh instead)")
 

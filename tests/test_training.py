@@ -204,3 +204,26 @@ def test_grad_accumulation_step():
 
     with pytest.raises(ValueError):
         make_train_step(loss_fn, opt, bn_mode="master", accum_steps=2)
+
+
+@pytest.mark.slow
+def test_train_cli_smoke(camvid_tree, tmp_path):
+    """CLI arg plumbing -> trainer: one tiny epoch through
+    cli/train.py main() (catches signature drift between the CLI surface
+    and the trainer functions)."""
+    from arseg_tpu.cli import train as cli_train
+
+    cli_train.main([
+        "--data-path", str(camvid_tree / "camvid-sequence" / "3M-GOP2" / "decoded_GOP2_dist_1"),
+        "--models-path", str(tmp_path / "m"),
+        "--backend", "resnet18",
+        "--batch-size", "2",
+        "--epochs", "1",
+        "--dataset", "camvid",
+        "--model_type", "pspnet",
+        "--accum_steps", "2",
+        "--num_devices", "1",
+        "--cropsize", "64", "48",
+    ])
+    saved = os.listdir(str(tmp_path / "m"))
+    assert any(f.endswith(".npz") for f in saved)

@@ -38,6 +38,10 @@ def main(argv=None):
     p.add_argument("--accum_steps", type=int, default=1,
                    help="gradient-accumulation microbatches (single-chip "
                         "route to reference-scale batches; train/step.py)")
+    p.add_argument("--flow_shape", type=int, nargs=2, default=None,
+                   metavar=("H", "W"),
+                   help="MV-bin spatial shape when it differs from the "
+                        "dataset default (720x960 CamVid / 1024x2048 Cityscapes)")
     p.add_argument("--bn_mode", default="sync", choices=["sync", "master"],
                    help="BN stats: global-batch (sync) or DataParallel-faithful replica-0 (master)")
     args = p.parse_args(argv)
@@ -68,6 +72,7 @@ def main(argv=None):
         seed=args.seed,
         bn_mode=args.bn_mode,
         accum_steps=args.accum_steps,
+        flow_shape=(tuple(args.flow_shape) + (2,)) if args.flow_shape else None,
     )
 
 

@@ -227,3 +227,39 @@ def test_train_cli_smoke(camvid_tree, tmp_path):
     ])
     saved = os.listdir(str(tmp_path / "m"))
     assert any(f.endswith(".npz") for f in saved)
+
+
+@pytest.mark.heavy
+def test_train_pair_cli_smoke(camvid_tree, tmp_path):
+    """CLI arg plumbing -> phase-2 trainer (one tiny stage-2 epoch)."""
+    import jax as _jax
+    from arseg_tpu.cli import train_pair as cli_tp
+    from arseg_tpu.models import build_model as _bm
+    from arseg_tpu.utils.checkpoint import save_checkpoint as _sc
+
+    teacher = _bm("camvid-psp18", fuse=False)
+    tpath = str(tmp_path / "teacher.npz")
+    _sc(tpath, teacher.init(_jax.random.PRNGKey(0)), {"scale": 1.0})
+
+    seq_path = str(camvid_tree / "camvid-sequence")
+    cli_tp.main([
+        "--data-path", os.path.join(seq_path, "3M-GOP2", "decoded_GOP2_dist_1"),
+        "--sequence-path", seq_path,
+        "--models-path", str(tmp_path / "exp"),
+        "--backend", "resnet18",
+        "--batch-size", "2",
+        "--epochs", "1",
+        "--crop_x", "64", "--crop_y", "48",
+        "--scale", "0.5",
+        "--feat_loss", "mse",
+        "--stage1_epoch", "1",  # stage-1 epoch only: the CLI plumbing and
+        # the WithFlow data path (incl. --flow_shape) are fully exercised
+        # while avoiding the stage-2 merge compile (20+ min on CPU)
+        "--ref_gap", "2",
+        "--with_motion", "1",
+        "--teacher_snapshot", tpath,
+        "--num_devices", "1",
+        "--accum_steps", "2",
+        "--flow_shape", "48", "64",
+    ])
+    assert any(f.endswith(".npz") for f in os.listdir(tmp_path / "exp"))

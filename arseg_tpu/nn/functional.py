@@ -33,6 +33,41 @@ class Ctx:
         return sub
 
 
+def _conv_s2d_stem(p, x):
+    """Exact 7x7/stride-2/pad-3 conv via 2x2 space-to-depth (see conv2d)."""
+    import numpy as _np
+
+    w = p["weight"]  # [7, 7, C, O]
+    n, h, wd, c = x.shape
+    # pixel-unshuffle: channel index dy*2c + dx*c + cc
+    z = x.reshape(n, h // 2, 2, wd // 2, 2, c)
+    z = jnp.transpose(z, (0, 1, 3, 2, 4, 5)).reshape(n, h // 2, wd // 2, 4 * c)
+
+    # scatter the 49 taps into the [4, 4, 4C, O] kernel (static indexing —
+    # XLA folds the gather of w slices into copies)
+    rows = _np.array([((a + 1) % 2, (a - 3 - ((a + 1) % 2)) // 2 + 2) for a in range(7)])
+    w4 = jnp.zeros((4, 4, 4 * c, w.shape[3]), w.dtype)
+    for a in range(7):
+        dy, ai = int(rows[a][0]), int(rows[a][1])
+        for b in range(7):
+            dx, bi = int(rows[b][0]), int(rows[b][1])
+            w4 = w4.at[ai, bi, dy * 2 * c + dx * c : dy * 2 * c + dx * c + c, :].set(
+                w[a, b]
+            )
+
+    out = jax.lax.conv_general_dilated(
+        z,
+        w4.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=[(2, 1), (2, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision="highest",
+    )
+    if "bias" in p and p["bias"] is not None:
+        out = out + p["bias"].astype(x.dtype)
+    return out
+
+
 def conv2d(p, x, stride=1, padding=0, dilation=1, groups=1):
     """NHWC conv with torch Conv2d semantics. weight: [kh,kw,in/groups,out]."""
     if isinstance(stride, int):
@@ -42,6 +77,25 @@ def conv2d(p, x, stride=1, padding=0, dilation=1, groups=1):
     if isinstance(dilation, int):
         dilation = (dilation, dilation)
     w = p["weight"]
+    if (
+        w.shape[0] == 7
+        and w.shape[1] == 7
+        and w.shape[2] <= 4
+        and stride == (2, 2)
+        and padding == (3, 3)
+        and dilation == (1, 1)
+        and groups == 1
+        and x.shape[1] % 2 == 0
+        and x.shape[2] % 2 == 0
+    ):
+        # space-to-depth stem: a 7x7/s2/p3 conv over C<=4 runs at <1 TF/s on
+        # TPU (the MXU contraction dim is starved; measured 3.46 ms of the
+        # 4.94 ms BiSeNet forward at 720x960). The exact rewrite: 2x2
+        # pixel-unshuffle the input (C -> 4C) and scatter the 49 taps into a
+        # 4x4 kernel — tap a lands at row (a-3-dy)//2+2 with parity
+        # dy=(a+1)%2 — with asymmetric (2,1) padding. Same math up to the
+        # contraction's f32 summation order (~1e-5), no checkpoint change.
+        return _conv_s2d_stem(p, x)
     if (
         groups > 1
         and groups == x.shape[-1]

@@ -156,7 +156,12 @@ def build_warp_plan(flow, feat_hw, align_corners=False, budget=16384,
     wp2 = w + 2
     bidx = np.arange(n)[:, None, None]
     oyidx = np.arange(h)[None, :, None]
-    J = np.zeros((n, h, wp2), np.int32)
+    # holes (columns no pixel scatters to) default to the identity row:
+    # zero displacement, so they never inflate the kernel's banded reach
+    # (any pixel actually reading a hole fails verification -> corrected)
+    J = np.broadcast_to(
+        np.arange(h, dtype=np.int32)[None, :, None], (n, h, wp2)
+    ).copy()
     V0 = np.zeros((n, h, wp2), np.float32)
     V1 = np.zeros((n, h, wp2), np.float32)
     for t_off in (1, 0):  # xi+1 first so xi (the primary read) wins ties

@@ -283,6 +283,14 @@ def plan_to_device(plan):
     """WarpPlan (host numpy) -> (dict of jnp arrays, static metadata)."""
     import numpy as np
 
+    if plan.exact:
+        raise ValueError(
+            "WarpPlan overflowed its correction budget "
+            f"(max corrections {int(plan.corr_n.max())} > budget "
+            f"{plan.budget}); the plan carries no kernel layout. Callers "
+            "must check plan.exact and fall back to ops.warp.warp_feature "
+            "(exact gather) for this flow field."
+        )
     h, w = plan.h, plan.w
     hl = _pad128(h + 2)
     wl = _pad128(w + 2)

@@ -7,7 +7,9 @@ dist.all_reduce at `evaluation.py:134-135` -> lax.psum).
 The models here are <= ResNet-18 scale, so tensor/pipeline/expert parallelism
 are out of scope by design (documented in SURVEY §2.3); the framework's own
 "pipeline" axis is the GOP schedule (arseg_tpu/gop). Multi-host DCN runs use
-the same program via jax.distributed.initialize — the shardings don't change.
+the same program via jax.distributed.initialize — the shardings don't change
+(demonstrated by tests/test_multihost.py: a 2-process CPU-backend cluster
+running the sharded train step and the psum'd eval histogram).
 """
 
 import jax

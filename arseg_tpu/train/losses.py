@@ -9,10 +9,10 @@ The reference loss surface (`train.py:210-216`, `train_pair.py:291-302`):
 
 OHEM note (`model/bisenet.py:600-614`): keep per-pixel CE losses above
 -log(0.7); if fewer than n_min = n_valid/16 qualify, take the top n_min.
-The reference's dynamic topk is re-expressed with a sorted threshold so the
-computation is fixed-shape for XLA: mean over {loss > max-rank-threshold}.
-Under float ties at the k-th rank this may include a few extra pixels
-(measure-zero difference).
+The reference's dynamic topk is re-expressed fixed-shape for XLA: the sum of
+the n_min largest losses equals sum(loss > kth) + kth * (#tied slots), where
+kth is the n_min-th largest value — exact torch topk(n_min).mean() parity
+including ties and the all-easy (kth == 0) degenerate case.
 """
 
 import jax
@@ -63,8 +63,15 @@ def ohem_ce(logits, labels, thresh=0.7, ignore_label=255):
         return jnp.sum(flat * mask) / jnp.maximum(jnp.sum(mask), 1)
 
     def top_nmin(_):
-        mask = flat >= kth
-        return jnp.sum(flat * mask) / jnp.maximum(jnp.sum(mask), 1)
+        # exact fixed-shape torch topk(n_min).mean(): the sum of the n_min
+        # largest entries is sum(flat > kth) plus kth for each tied slot.
+        # (A bare `flat >= kth` mask diverged when kth == 0 — fewer positive
+        # losses than n_min — by sweeping every ignored pixel's 0.0 loss
+        # into the mean's denominator.)
+        n = jnp.maximum(n_min, 1)
+        above = flat > kth
+        total = jnp.sum(flat * above) + kth * (n - jnp.sum(above))
+        return total / n
 
     n_hard = jnp.sum(flat > t)
     return jax.lax.cond(n_hard >= n_min, enough_hard, top_nmin, None)

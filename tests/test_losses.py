@@ -80,6 +80,25 @@ def test_ohem_ce_few_hard():
     np.testing.assert_allclose(float(got), ref.item(), rtol=1e-3, atol=1e-5)
 
 
+def test_ohem_ce_degenerate_zero_kth():
+    # fewer POSITIVE losses than n_min: most valid pixels have exactly-zero
+    # CE (saturated logits), so the n_min-th largest loss is 0.0. torch's
+    # topk(n_min).mean() divides by n_min; a naive `loss >= kth` mask would
+    # also sweep every ignored pixel's 0.0 into the denominator.
+    n = 4
+    y = _rand_labels((1, 16, 16), n, seed=12, ignore_frac=0.3)
+    logits = np.full((1, 16, 16, n), -50.0, np.float32)
+    for c in range(n):
+        logits[0, ..., c][y[0] == c] = 50.0  # exp underflow -> loss exactly 0
+    # a couple of mildly-wrong pixels (positive loss, but << n_min of them)
+    flat_valid = np.argwhere(y[0] != 255)
+    for i, j in flat_valid[:3]:
+        logits[0, i, j, :] = 0.5
+    ref = _torch_ohem(torch.from_numpy(logits).permute(0, 3, 1, 2), torch.from_numpy(y))
+    got = L.ohem_ce(jnp.asarray(logits), jnp.asarray(y.astype(np.int32)))
+    np.testing.assert_allclose(float(got), ref.item(), rtol=1e-5, atol=1e-7)
+
+
 def test_mse_and_kl():
     a = _rand_logits((2, 4, 4, 3), seed=10)
     b = _rand_logits((2, 4, 4, 3), seed=11)

@@ -153,3 +153,39 @@ def test_plan_identity_flow_no_corrections():
     got = _apply_plan_numpy(feat, plan)
     ref = np.asarray(warp_feature(jnp.asarray(feat), (jnp.asarray(fx), jnp.asarray(fy))))
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6)
+
+
+def test_plan_to_device_rejects_overflowed_plan():
+    from arseg_tpu.ops.pallas_warp2 import plan_to_device
+
+    rng = np.random.RandomState(3)
+    n, h, w = 1, 24, 32
+    fx = rng.uniform(-10, 10, (n, h, w)).astype(np.float32)
+    fy = rng.uniform(-10, 10, (n, h, w)).astype(np.float32)
+    plan = build_warp_plan((fx, fy), (h, w), budget=4)
+    assert plan.exact
+    with pytest.raises(ValueError, match="correction budget"):
+        plan_to_device(plan)
+
+
+def test_resize_flow_planes_np_matches_device_op():
+    """The host mirror (warp_plan.resize_flow_planes_np) and the device op
+    (ops/warp.scale_and_resize_flow, eval semantics) must agree bit-for-bit;
+    nothing else cross-checks the two copies. The train-path 'nearest' mode
+    is intentionally unsupported on the host side."""
+    from arseg_tpu.ops.warp import scale_and_resize_flow
+    from arseg_tpu.ops.warp_plan import resize_flow_planes_np
+
+    rng = np.random.RandomState(7)
+    for fhw, ohw in [((24, 32), (6, 8)), ((90, 120), (90, 120)), ((17, 23), (9, 16))]:
+        fx = rng.uniform(-40, 40, (2,) + fhw).astype(np.float32)
+        fy = rng.uniform(-40, 40, (2,) + fhw).astype(np.float32)
+        hx, hy = resize_flow_planes_np(fx, fy, ohw)
+        dx, dy = scale_and_resize_flow(
+            (jnp.asarray(fx), jnp.asarray(fy)), ohw, mode="bilinear", split=True
+        )
+        np.testing.assert_array_equal(hx, np.asarray(dx))
+        np.testing.assert_array_equal(hy, np.asarray(dy))
+
+    with pytest.raises(ValueError, match="mode"):
+        resize_flow_planes_np(fx, fy, (6, 8), mode="nearest")

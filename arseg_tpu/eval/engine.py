@@ -108,9 +108,11 @@ def _alter_hist(highres_model, model, scale, n_classes, ignore_label, dtype):
         h, w = image.shape[1], image.shape[2]
         x = resize_bilinear(image, (int(h * scale), int(w * scale)), align_corners=True)
         feat = _as_tuple(model.forward_phase1(params, x))[-1]
+        up = getattr(model, "phase2_argmax_upscale", 1)
         if (
             hasattr(model, "forward_phase2_argmax")
-            and warped.shape[1:3] == tuple(label.shape[1:3])
+            and (warped.shape[1] * up, warped.shape[2] * up)
+            == tuple(label.shape[1:3])
         ):
             # same fused phase-2 + argmax path the AR pipeline serves with
             # (the logit upsample is the identity; log_softmax is monotonic)

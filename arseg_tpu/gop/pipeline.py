@@ -104,7 +104,11 @@ class ARPipeline:
         ref_rep = jnp.broadcast_to(ref_feat, (n,) + ref_feat.shape[1:])
         warped = warp_feature(ref_rep, flow_planes)
         feat = _as_tuple(self.lr_model.forward_phase1(lr_params, x))[-1]
-        if hasattr(self.lr_model, "forward_phase2_argmax") and warped.shape[1:3] == (h, w):
+        up = getattr(self.lr_model, "phase2_argmax_upscale", 1)
+        if hasattr(self.lr_model, "forward_phase2_argmax") and (
+            warped.shape[1] * up,
+            warped.shape[2] * up,
+        ) == (h, w):
             return self.lr_model.forward_phase2_argmax(lr_params, feat, warped)
         out, _ = self._phase2_logits(lr_params, feat, warped)
         out = resize_bilinear(out, (h, w), align_corners=True)

@@ -14,6 +14,7 @@ Param naming matches the torch state_dict (checkpoints store the shared
 feat_conv_out/final_conv aliases under `conv_out.conv` / `conv_out.conv_out`).
 """
 
+import jax
 import jax.numpy as jnp
 
 from arseg_tpu.nn import functional as Fn
@@ -78,6 +79,8 @@ class BiSeNetV1:
         self.aux_mode = aux_mode
         self.with_fuse = with_fuse
         self.middle_dim = 256
+        self.attention_type = attention_type
+        self.atten_k = atten_k
         if with_fuse:
             self.fuse_init, self.fuse_apply = get_fusion(attention_type, atten_k)
 
@@ -216,3 +219,63 @@ class BiSeNetV1:
         out = Fn.conv2d(p["conv_out"]["conv_out"], fused)
         out = resize_bilinear(out, (out.shape[1] * 8, out.shape[2] * 8), align_corners=False)
         return out, fused
+
+    # forward_phase2_argmax returns class maps at 8x the fused-feature
+    # resolution (the BiSeNetOutput x8 upsample, `model/bisenet.py:546-575`);
+    # dispatchers check `feat_hw * phase2_argmax_upscale == target_hw`
+    phase2_argmax_upscale = 8
+
+    def forward_phase2_argmax(self, p, mid, ref_p):
+        """Inference fast path: argmax(x8_bilinear(final_conv(CReFF fusion))).
+
+        The n_classes logit planes stay channel-major [n, n_cls, h, w] so the
+        x8 align_corners=False upsample runs as two constant-matrix matmuls
+        with full 128-lane utilization — the NHWC form pads n_cls=12 to 128
+        lanes and drags a [8h, 8w, 128]-shaped tensor through every step.
+        Math is identical to forward_phase2 + resize + argmax (each output
+        logit is still exactly (1-w)*x0 + w*x1; f32 keeps HIGHEST matmul
+        precision), so argmax agrees up to float-tie flips.
+
+        A fully-fused Pallas variant exists
+        (`ops/pallas_creff.creff_phase2_upsample_argmax`, interpret-tested)
+        but is OFF: Mosaic 0.9 cannot lower its channel-major head dots
+        ("infer-vector-layout: unsupported shape cast", vector<16x3840> ->
+        <16x32x120> — the rank-2 x rank-3 dot's result reshape), and every
+        reformulation either needs a lane-crossing reshape or pads 12
+        classes to 128 lanes (~10x FLOP inflation, measured-worse than this
+        XLA form). Re-try on a toolchain bump."""
+        from arseg_tpu.ops.local_attention import _use_pallas
+        from arseg_tpu.ops.resize import _linear_matrix
+
+        USE_FUSED_UPSAMPLE_HEAD = False  # Mosaic 0.9 limitation, see above
+        if (
+            USE_FUSED_UPSAMPLE_HEAD
+            and _use_pallas()
+            and self.attention_type == "local"
+            and ref_p.shape[2] <= 128
+        ):
+            from arseg_tpu.ops.pallas_creff import creff_phase2_upsample_argmax
+
+            fa = p["fuse_attention"]
+            lr_up = resize_bilinear(mid, ref_p.shape[1:3], align_corners=True)
+            return creff_phase2_upsample_argmax(
+                lr_up, ref_p, fa["lr_query_conv"], fa["hr_key_conv"],
+                fa["hr_value_conv"], p["conv_out"]["conv_out"],
+                self.atten_k, self.atten_k, 8,
+            )
+
+        fused = self.fuse_apply(p["fuse_attention"], ref_p, mid)
+        wfc = p["conv_out"]["conv_out"]["weight"][0, 0]
+        bfc = p["conv_out"]["conv_out"]["bias"]
+        prec = (
+            jax.lax.Precision.HIGHEST if fused.dtype == jnp.float32 else None
+        )
+        lg = jnp.einsum(
+            "nhwc,cm->nmhw", fused, wfc.astype(fused.dtype), precision=prec
+        ) + bfc.astype(jnp.float32)[None, :, None, None].astype(fused.dtype)
+        fh, fw = lg.shape[2], lg.shape[3]
+        mh = jnp.asarray(_linear_matrix(fh, fh * 8, False)).astype(lg.dtype)
+        mw = jnp.asarray(_linear_matrix(fw, fw * 8, False)).astype(lg.dtype)
+        lg = jnp.einsum("Hh,nmhw->nmHw", mh, lg, precision=prec)
+        lg = jnp.einsum("Ww,nmhw->nmhW", mw, lg, precision=prec)
+        return jnp.argmax(lg, axis=1).astype(jnp.int32)

@@ -27,6 +27,8 @@ PER TENSOR — the expansion was ~95%% of the old 10 ms kernel time.
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -35,6 +37,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _cdiv(a, b):
     return -(-a // b)
+
+
+def _pick_th(h, th):
+    """Tile-height auto-select: when the default th does not divide h but 30
+    does, use 30 — measured best at the bise18 fusion shape [90,120,256]
+    (0.334 vs 0.367 ms/frame at th=16, tools_probe_r3c) and removes the
+    90->96 row-padding waste. Callers that pass a dividing th are left
+    untouched (camvid-psp18 720 rows: 720%16==0, stays 16).
+
+    ARSEG_CREFF_TH overrides (when it divides h) — a tuning knob for
+    per-shape sweeps; production defaults are the measured winners."""
+    import os
+
+    ov = int(os.environ.get("ARSEG_CREFF_TH", "0"))
+    if ov and h % ov == 0:
+        return ov
+    if h % th and h % 30 == 0:
+        return 30
+    return th
 
 
 def _kernel(
@@ -126,6 +147,7 @@ def creff_fused_pallas(
     """
     n, h, w, c = q.shape
     tw = min(tw, _cdiv(w, 128) * 128)
+    th = _pick_th(h, th)
     hp = _cdiv(h, th) * th
     wp = _cdiv(w, tw) * tw
     nh, nw = hp // th, wp // tw
@@ -188,12 +210,17 @@ def creff_fused_pallas(
 
 def _fused_module_body(
     lr_ref, ref_ref, wq_ref, wk_ref, wv_ref, lbuf, rbuf, sems,
-    *, kh, kw, th, tw, twd, nh, nw, img_h, img_w,
+    *, kh, kw, th, tw, twd, nh, nw, img_h, img_w, rh=0,
 ):
     """Shared body of the fused-MyAttention kernels: double-buffered halo
     DMA of the lr/ref windows, in-VMEM 3x3 depthwise Q/K/V convs, banded
     windowed attention, residual add. Returns the fused feature tile
-    [TH, TW, CP] in f32 (caller applies its epilogue + writes out)."""
+    [TH + 2*rh, TW, CP] in f32 (caller applies its epilogue + writes out).
+
+    rh: extra fused-output row halo per side (0 for the plain kernels; 1 for
+    the upsampling epilogue, whose bilinear row interpolation at tile edges
+    needs the neighbouring tile's boundary logits — callers must pad the
+    lr/ref inputs by rh more rows top+bottom)."""
     f32 = jnp.float32
     a = pl.program_id(0)
     i = pl.program_id(1)
@@ -202,12 +229,13 @@ def _fused_module_body(
     total = pl.num_programs(0) * nh * nw
     slot = jax.lax.rem(step, 2)
     ph = kh // 2
-    hw = th + kh + 1  # ref window rows: attention halo + dwconv halo
+    trh = th + 2 * rh  # fused-output rows per tile
+    hw = trh + kh + 1  # ref window rows: attention halo + dwconv halo
 
     def dma(dst_slot, a2, i2, j2, which):
         if which == 0:
             return pltpu.make_async_copy(
-                lr_ref.at[a2, pl.ds(i2 * th, th + 2), pl.ds(j2 * tw, twd), :],
+                lr_ref.at[a2, pl.ds(i2 * th, trh + 2), pl.ds(j2 * tw, twd), :],
                 lbuf.at[dst_slot],
                 sems.at[dst_slot, 0],
             )
@@ -250,13 +278,13 @@ def _fused_module_body(
                 acc = term if acc is None else acc + term
         return acc + w_ref[1, 0, 0][None, None, :].astype(f32)
 
-    q = dw(lwin, wq_ref, th, tw).astype(lwin.dtype)  # [TH, TW, C]
-    k = dw(rwin, wk_ref, th + kh - 1, twd - 2)
-    v = dw(rwin, wv_ref, th + kh - 1, twd - 2)
+    q = dw(lwin, wq_ref, trh, tw).astype(lwin.dtype)  # [TRH, TW, C]
+    k = dw(rwin, wk_ref, trh + kh - 1, twd - 2)
+    v = dw(rwin, wv_ref, trh + kh - 1, twd - 2)
     # zero out-of-image positions (the unfold's zero padding, which the
     # dwconv bias would otherwise fill; reference model/attention.py:55-85)
-    gr = jax.lax.broadcasted_iota(jnp.int32, (th + kh - 1, twd - 2, 1), 0) + i * th - ph
-    gc = jax.lax.broadcasted_iota(jnp.int32, (th + kh - 1, twd - 2, 1), 1) + j * tw - (kw // 2)
+    gr = jax.lax.broadcasted_iota(jnp.int32, (trh + kh - 1, twd - 2, 1), 0) + i * th - ph - rh
+    gc = jax.lax.broadcasted_iota(jnp.int32, (trh + kh - 1, twd - 2, 1), 1) + j * tw - (kw // 2)
     valid = (gr >= 0) & (gr < img_h) & (gc >= 0) & (gc < img_w)
     k = jnp.where(valid, k, 0.0).astype(rwin.dtype)
     v = jnp.where(valid, v, 0.0).astype(rwin.dtype)
@@ -265,11 +293,11 @@ def _fused_module_body(
     twp = _cdiv(twd - 2, 128) * 128
     pad_w = twp - (twd - 2)
     kcat = jnp.concatenate(
-        [jnp.pad(k[dy : dy + th], ((0, 0), (0, pad_w), (0, 0))) for dy in range(kh)],
+        [jnp.pad(k[dy : dy + trh], ((0, 0), (0, pad_w), (0, 0))) for dy in range(kh)],
         axis=1,
     )
     vcat = jnp.concatenate(
-        [jnp.pad(v[dy : dy + th], ((0, 0), (0, pad_w), (0, 0))) for dy in range(kh)],
+        [jnp.pad(v[dy : dy + trh], ((0, 0), (0, pad_w), (0, 0))) for dy in range(kh)],
         axis=1,
     )
 
@@ -287,8 +315,8 @@ def _fused_module_body(
     p = (e / jnp.sum(e, axis=2)[..., None]).astype(v.dtype)
     acc = jax.lax.dot_general(p, vcat, dn_pv, preferred_element_type=f32, precision=prec)
     # residual: lr_up + attention (reference `model/attention.py:209-213`)
-    resid = lwin[1 : 1 + th, 1 : 1 + tw, :].astype(f32)
-    return resid + acc  # [TH, TW, CP] f32
+    resid = lwin[1 : 1 + trh, 1 : 1 + tw, :].astype(f32)
+    return resid + acc  # [TRH, TW, CP] f32
 
 
 def _qkv_kernel(
@@ -317,6 +345,7 @@ def creff_qkv_fused(
     """
     n, h, w, c = lr_up.shape
     tw = min(tw, _cdiv(w, 128) * 128)
+    th = _pick_th(h, th)
     hp = _cdiv(h, th) * th
     wp = _cdiv(w, tw) * tw
     nh, nw = hp // th, wp // tw
@@ -425,6 +454,7 @@ def creff_phase2_argmax(
     n, h, w, c = lr_up.shape
     n_classes = fc["weight"].shape[-1]
     tw = min(tw, _cdiv(w, 128) * 128)
+    th = _pick_th(h, th)
     hp = _cdiv(h, th) * th
     wp = _cdiv(w, tw) * tw
     nh, nw = hp // th, wp // tw
@@ -500,3 +530,192 @@ def creff_phase2_argmax(
     )(lrp, refp, wq_p, wk_p, wv_p, fc_p)
     out = out[..., :tw].transpose(0, 1, 3, 2, 4).reshape(n, hp, wp)
     return out[:, :h, :w]
+
+
+# --------------------------------------------------------------------------
+# BiSeNet inference epilogue: fused module + 1x1 final_conv + x`up` bilinear
+# (align_corners=False) upsample + argmax in ONE kernel. The BiSeNetOutput
+# head (`model/bisenet.py:546-575`) upsamples 12-class logits x8 before the
+# argmax; done through XLA that drags an [N, 8h, 8w, n_cls->128-lane] tensor
+# through HBM every frame. Here the whole head runs in VMEM on the fused
+# tile: logits go channel-major via one transposed GEMM, both upsample axes
+# are row-stochastic constant-matrix matmuls (exactly (1-w)*x0 + w*x1 per
+# output), bias is added post-upsample (legal: the matrices are
+# row-stochastic, so upsample(x + b) == upsample(x) + b per class), and only
+# the int32 class map leaves the kernel. Tile rows carry a +-1 fused-row
+# halo (rh=1) so row interpolation at tile edges sees the neighbour's
+# boundary logits.
+
+
+def _qkv_upsample_head_kernel(
+    lr_ref, ref_ref, wq_ref, wk_ref, wv_ref, fct_ref, fcb_ref, mh_ref, mw_ref,
+    out_ref, lbuf, rbuf, sems,
+    *, kh, kw, th, tw, twd, nh, nw, img_h, img_w, up, ncp, wop,
+):
+    f32 = jnp.float32
+    fused = _fused_module_body(
+        lr_ref, ref_ref, wq_ref, wk_ref, wv_ref, lbuf, rbuf, sems,
+        kh=kh, kw=kw, th=th, tw=tw, twd=twd, nh=nh, nw=nw,
+        img_h=img_h, img_w=img_w, rh=1,
+    )  # [TH+2, TW, CP] f32
+    in_dtype = lr_ref.dtype
+    prec = jax.lax.Precision.HIGHEST if in_dtype == jnp.float32 else None
+
+    # 1x1 final conv straight into channel-major planes: [NCP, TH+2, TW]
+    lg = jax.lax.dot_general(
+        fct_ref[...],
+        fused.astype(in_dtype),
+        (((1,), (2,)), ((), ())),
+        preferred_element_type=f32,
+        precision=prec,
+    )
+    # column upsample FIRST (at TH+2 rows, before the x`up` row expansion —
+    # 2.6x fewer matmul FLOPs than W-after-H): [NCP, TH+2, WOP]
+    lg = jax.lax.dot_general(
+        lg.astype(mw_ref.dtype), mw_ref[...],
+        (((2,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=prec,
+    )
+    # row upsample: per-tile constant matrix [TH*up, TH+2] (image-border
+    # clamping baked into the matrix rows) -> [TH*up, NCP, WOP]
+    lg = jax.lax.dot_general(
+        mh_ref[0], lg.astype(mh_ref.dtype),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=f32, precision=prec,
+    )
+    # bias post-upsample (exact: both matrices are row-stochastic); padded
+    # classes carry -inf so argmax skips them, padded columns are sliced
+    # off by the caller
+    lg = lg + fcb_ref[...][None].astype(f32)
+    out_ref[0] = jnp.argmax(lg, axis=1).astype(jnp.int32)  # [TH*up, WOP]
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
+def creff_phase2_upsample_argmax(
+    lr_up, ref, wq, wk, wv, fc, kh: int, kw: int, up: int = 8, th: int = 30,
+    interpret: bool = False,
+):
+    """argmax(x`up`-bilinear(final_conv(MyAttention(lr_up, ref)))), fused.
+
+    The BiSeNetV1WithFuse inference head (semantics:
+    `model/bisenet.py:546-575` BiSeNetOutput with up_factor=8,
+    align_corners=False): int32 [N, H*up, W*up] class maps, with neither the
+    fused feature nor any logit tensor ever reaching HBM. Requires the
+    feature width to fit one lane tile (w <= 128: full-width rows are needed
+    by the in-kernel column-upsample matmul); callers fall back to the
+    composed head otherwise.
+    """
+    n, h, w, c = lr_up.shape
+    n_classes = fc["weight"].shape[-1]
+    if w > 128:
+        raise ValueError("fused upsample head needs full-width tiles (w<=128)")
+    tw = w
+    th = _pick_th(h, th) if h % th else th
+    while h % th:
+        th //= 2
+    hp = h
+    nh = hp // th
+    nw = 1
+    ph, pw = kh // 2, kw // 2
+    cp = _cdiv(c, 128) * 128
+    ncp = _cdiv(n_classes, 8) * 8
+    twd = _cdiv(tw + kw + 1, 8) * 8
+    wop = _cdiv(w * up, 128) * 128
+
+    def pack2(wd, dtype):
+        wgt = jnp.pad(wd["weight"][:, :, 0, :], ((0, 0), (0, 0), (0, cp - c))).astype(dtype)
+        bias = jnp.pad(wd["bias"], (0, cp - c)).astype(dtype)
+        out = jnp.zeros((2, 3, 3, cp), dtype)
+        out = out.at[0].set(wgt)
+        return out.at[1, 0, 0].set(bias)
+
+    wq_p = pack2(wq, lr_up.dtype)
+    wk_p = pack2(wk, lr_up.dtype)
+    wv_p = pack2(wv, lr_up.dtype)
+    # transposed final-conv weight [NCP, CP]; bias replicated across lanes
+    # [NCP, WOP] with -inf rows for padded classes
+    fct = jnp.pad(
+        fc["weight"][0, 0].T, ((0, ncp - n_classes), (0, cp - c))
+    ).astype(lr_up.dtype)
+    fcb = jnp.broadcast_to(
+        jnp.pad(
+            fc["bias"].astype(jnp.float32), (0, ncp - n_classes),
+            constant_values=-jnp.inf,
+        )[:, None],
+        (ncp, wop),
+    )
+
+    # per-tile row-upsample matrices [nh, th*up, th+2]: rows of the global
+    # [h*up, h] align_corners=False matrix sliced to each tile's halo window
+    from arseg_tpu.ops.resize import _linear_matrix
+
+    gmh = _linear_matrix(h, h * up, False)  # numpy [h*up, h]
+    mh_tiles = np.zeros((nh, th * up, th + 2), np.float32)
+    for i in range(nh):
+        rows = gmh[i * th * up : (i + 1) * th * up]  # [th*up, h]
+        lo = i * th - 1
+        for dj in range(th + 2):
+            src = min(max(lo + dj, 0), h - 1)
+            if lo + dj == src:
+                mh_tiles[i, :, dj] += rows[:, src]
+        # border clamp: contributions of rows outside [0, h) fold onto the
+        # clamped row inside the halo window
+        for srcj in range(h):
+            if srcj < lo or srcj >= lo + th + 2:
+                if np.any(rows[:, srcj]):
+                    dj = min(max(srcj, lo), lo + th + 1) - lo
+                    mh_tiles[i, :, dj] += rows[:, srcj]
+    mh = jnp.asarray(mh_tiles)
+    # [w, wop]: transposed column-upsample matrix, zero-padded columns so the
+    # kernel's minor dim stays 128-aligned (padded outputs sliced off below)
+    mw = jnp.asarray(
+        np.pad(_linear_matrix(w, w * up, False).T, ((0, 0), (0, wop - w * up)))
+    )
+    if lr_up.dtype != jnp.float32:
+        mh = mh.astype(lr_up.dtype)
+        mw = mw.astype(lr_up.dtype)
+
+    # rh=1: one extra fused row per side beyond the dwconv halo
+    lrp = jnp.pad(lr_up, ((0, 0), (2, 2), (1, (twd - tw - 1)), (0, cp - c)))
+    refp = jnp.pad(
+        ref, ((0, 0), (ph + 2, ph + 2), (pw + 1, (twd - tw - pw - 1)), (0, cp - c))
+    )
+
+    wspec = pl.BlockSpec(
+        (2, 3, 3, cp), lambda a, b, d: (0, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _qkv_upsample_head_kernel, kh=kh, kw=kw, th=th, tw=tw, twd=twd,
+            nh=nh, nw=nw, img_h=h, img_w=w, up=up, ncp=ncp, wop=wop,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, hp * up, wop), jnp.int32),
+        grid=(n, nh, nw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            wspec,
+            wspec,
+            wspec,
+            pl.BlockSpec((ncp, cp), lambda a, b, d: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ncp, wop), lambda a, b, d: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, th * up, th + 2), lambda a, b, d: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((tw, wop), lambda a, b, d: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th * up, wop), lambda a, b, d: (a, b, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 4, twd, cp), lr_up.dtype),
+            pltpu.VMEM((2, th + kh + 3, twd, cp), lr_up.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(lrp, refp, wq_p, wk_p, wv_p, fct, fcb, mh, mw)
+    return out[:, :, : w * up]

@@ -116,7 +116,19 @@ def resize_bilinear(x, out_hw, align_corners: bool):
     oh, ow = int(out_hw[0]), int(out_hw[1])
     if (h, w) == (oh, ow):
         return x
-    y = x if h == oh else _lerp_axis(x, h, oh, align_corners, x.ndim - 3)
+    if h == oh:
+        y = x
+    elif x.shape[-1] <= 4:
+        # small-C fast path (C=3 frames): merge (W, C) into one minor dim so
+        # the H-pass gathers/lerps run on full 128-lane rows instead of a
+        # C-wide (lane-padded) minor dim. Pure reshape — element math is
+        # unchanged, so bit-parity holds.
+        c = x.shape[-1]
+        xm = x.reshape(x.shape[:-2] + (w * c,))
+        ym = _lerp_axis(xm, h, oh, align_corners, xm.ndim - 2)
+        y = ym.reshape(ym.shape[:-1] + (w, c))
+    else:
+        y = _lerp_axis(x, h, oh, align_corners, x.ndim - 3)
     if w == ow:
         return y
     mw = jnp.asarray(_linear_matrix(w, ow, align_corners))

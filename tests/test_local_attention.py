@@ -86,6 +86,23 @@ def test_creff_pallas_interpret_matches_oracle():
     )
 
 
+def test_creff_pallas_interpret_pick_th30():
+    """h % 30 == 0 triggers the th=30 auto-tile (_pick_th); verify the
+    30-row tiling path is bit-equivalent to the oracle (the production
+    bise18 fusion shape is h=90)."""
+    rng = np.random.RandomState(5)
+    q = rng.randn(1, 30, 17, 8).astype(np.float32)
+    k = rng.randn(1, 30, 17, 8).astype(np.float32)
+    v = rng.randn(1, 30, 17, 8).astype(np.float32)
+    ref = _torch_creff(_nchw(q), _nchw(k), _nchw(v), 7, 7)
+    got = creff_fused_pallas(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 7, 7, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), ref.permute(0, 2, 3, 1).numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_creff_gradients_match_torch():
     rng = np.random.RandomState(4)
     qn = rng.randn(1, 9, 10, 4).astype(np.float32)
@@ -164,3 +181,39 @@ def test_creff_phase2_argmax_matches_composed():
     want = np.argmax(np.asarray(Fn.conv2d(fc, fused)), axis=-1)
     got = creff_phase2_argmax(lr_up, ref, *convs, fc, 7, 7, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_creff_phase2_upsample_argmax_matches_composed():
+    """BiSeNet head-fused kernel (module + final_conv + x8 bilinear
+    align_corners=False + argmax) vs the composed chain; multi-tile rows
+    exercise the +-1 fused-row halo of the upsample epilogue."""
+    from arseg_tpu.ops.pallas_creff import creff_phase2_upsample_argmax
+    from arseg_tpu.ops.local_attention import _module_composed
+    from arseg_tpu.ops import resize_bilinear
+    from arseg_tpu.nn import functional as Fn
+
+    rng = np.random.RandomState(13)
+    c, ncls, h, w = 8, 5, 12, 17
+    lr_up = jnp.asarray(rng.randn(1, h, w, c).astype(np.float32))
+    ref = jnp.asarray(rng.randn(1, h, w, c).astype(np.float32))
+    convs = [
+        {
+            "weight": jnp.asarray(rng.randn(3, 3, 1, c).astype(np.float32)),
+            "bias": jnp.asarray(rng.randn(c).astype(np.float32)),
+        }
+        for _ in range(3)
+    ]
+    fc = {
+        "weight": jnp.asarray(rng.randn(1, 1, c, ncls).astype(np.float32)),
+        "bias": jnp.asarray(rng.randn(ncls).astype(np.float32)),
+    }
+    fused = _module_composed(lr_up, ref, *convs, 7, 7)
+    logits = Fn.conv2d(fc, fused)
+    up = resize_bilinear(logits, (h * 8, w * 8), align_corners=False)
+    want = np.argmax(np.asarray(up), axis=-1)
+    got = creff_phase2_upsample_argmax(
+        lr_up, ref, *convs, fc, 7, 7, 8, 30, interpret=True
+    )
+    assert got.shape == (1, h * 8, w * 8)
+    agree = np.mean(np.asarray(got) == want)
+    assert agree > 0.999, agree

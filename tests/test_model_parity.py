@@ -7,6 +7,7 @@ import sys
 import numpy as np
 import pytest
 import torch
+import jax
 import jax.numpy as jnp
 
 from reference_oracle import install_reference, ref_state_dict
@@ -148,6 +149,25 @@ def test_camvid_bise18_fuse_merge():
     )
     _assert_close(got[0], out)
     _assert_close(got[3], fused)
+
+
+def test_camvid_bise18_phase2_argmax_head():
+    """The channel-major fused inference head (final_conv + x8 bilinear
+    align_corners=False + argmax as constant-matrix matmuls) must agree with
+    the composed forward_phase2 -> argmax chain; f32 keeps the math exact up
+    to accumulation-order float ties."""
+    model = build_model("camvid-bise18", fuse=True)
+    params = model.init(jax.random.PRNGKey(3))
+    rng = np.random.RandomState(8)
+    mid = jnp.asarray(rng.randn(1, 12, 16, 256).astype(np.float32))
+    ref_p = jnp.asarray(rng.randn(1, 12, 16, 256).astype(np.float32))
+
+    out, _ = model.forward_phase2(params, mid, ref_p)
+    want = np.argmax(np.asarray(out), axis=-1)
+    got = np.asarray(model.forward_phase2_argmax(params, mid, ref_p))
+    assert got.shape == want.shape == (1, 96, 128)
+    agree = np.mean(got == want)
+    assert agree > 0.999, agree
 
 
 @pytest.mark.parametrize(

@@ -67,7 +67,7 @@ def _alter_batches(ds):
         yield img, lbl, 0, ref, flow
 
 
-@pytest.mark.slow
+@pytest.mark.xslow
 def test_protocol_miou_matches_reference_engines(tmp_path, monkeypatch):
     install_reference()
     _patch_cuda(monkeypatch)
@@ -136,7 +136,7 @@ def test_protocol_miou_matches_reference_engines(tmp_path, monkeypatch):
     assert np.median(diffs) < 5e-4, (ours, theirs)
 
 
-@pytest.mark.slow
+@pytest.mark.xslow
 def test_protocol_miou_matches_reference_engines_bise(tmp_path, monkeypatch):
     """Same dual-framework check for the bench headline config
     (camvid-bise18; reference builds the HR net in aux_mode='train' so the

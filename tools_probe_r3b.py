@@ -90,7 +90,8 @@ def make_gop(variant):
         fused = feat if variant == "no-creff" else lr_model.fuse_apply(
             p["fuse_attention"], warped, feat)
         if variant == "no-head":
-            return jnp.argmax(fused[..., :12], axis=-1).astype(jnp.int32)
+            pred = jnp.argmax(fused[..., :12], axis=-1).astype(jnp.int32)
+            return jnp.repeat(jnp.repeat(pred, 8, axis=1), 8, axis=2)
         if variant in ("planes-head", "batched-p1"):
             return head_planes(p, fused)
         out = Fn.conv2d(p["conv_out"]["conv_out"], fused)
@@ -101,10 +102,21 @@ def make_gop(variant):
     def gop(hp, lp, key, frs, fxa, fya):
         hr_out = hr_model.apply(hp, key)
         key_logits, ref_feat = hr_out[0], hr_out[-1]
-        s = jnp.float32(FH / fxa.shape[-2])
-        fxr = _resize_plane_bilinear(fxa * s, (FH, FW), True)
-        fyr = _resize_plane_bilinear(fya * s, (FH, FW), True)
-        x_lr = resize_bilinear(frs, (H // 2, W // 2), align_corners=True)
+        if variant == "no-flow-resize":
+            # pretend the [G-1, 720, 960] flow planes are already at feature
+            # resolution: slice instead of resample (delta = resample cost)
+            fxr = fxa[:, :FH, :FW] * jnp.float32(FH / H)
+            fyr = fya[:, :FH, :FW] * jnp.float32(FH / H)
+        else:
+            s = jnp.float32(FH / fxa.shape[-2])
+            fxr = _resize_plane_bilinear(fxa * s, (FH, FW), True)
+            fyr = _resize_plane_bilinear(fya * s, (FH, FW), True)
+        if variant == "no-frame-resize":
+            # slice the LR crop instead of bilinear-downsizing (delta = the
+            # [G-1,720,960,3] -> [360,480] resize cost)
+            x_lr = frs[:, : H // 2, : W // 2, :]
+        else:
+            x_lr = resize_bilinear(frs, (H // 2, W // 2), align_corners=True)
 
         if variant == "batched-p1":
             feat = lr_model.forward_phase1(lp, x_lr)[-1]  # [11, FH, FW, 256]
@@ -117,6 +129,17 @@ def make_gop(variant):
                 return head_planes(lp, fused)[0]
 
             preds = jax.lax.map(fuse_one, (feat, warped))
+        elif variant == "batched-fuse":
+            # phase1 stays per-frame (the n=11 batched phase1 inside the full
+            # program is the known compile-crash trigger), but warp + CReFF +
+            # head run ONCE batched: one n=11 kernel launch instead of 11
+            feat = jax.lax.map(
+                lambda a: lr_model.forward_phase1(lp, a[None])[-1][0], x_lr
+            )
+            ref_rep = jnp.broadcast_to(ref_feat, (G - 1,) + ref_feat.shape[1:])
+            warped = warp_feature(ref_rep, (fxr, fyr))
+            fused = lr_model.fuse_apply(lp["fuse_attention"], warped, feat)
+            preds = head_planes(lp, fused)
         else:
             preds = jax.lax.map(
                 lambda a: lr_branch(lp, a[0][None], a[1][None], a[2][None], ref_feat)[0],

@@ -52,6 +52,24 @@ def bench(name, fn, *args, iters=12, rounds=5):
     return t, out
 
 
+if len(sys.argv) > 1 and sys.argv[1] == "n1":
+    # production launches the kernel at n=1 (batching the composed program
+    # crashes the worker): find the per-launch overhead vs the n=11 batch
+    # and the best n=1 tile (smaller th = more grid steps = better DMA
+    # double-buffer overlap within one launch)
+    a1, b1 = a[:1], b[:1]
+    for th in (30, 15, 10, 6):
+        fn = jax.jit(lambda x, y, th=th: creff_qkv_fused(
+            x, y, fa["lr_query_conv"], fa["hr_key_conv"], fa["hr_value_conv"],
+            7, 7, th, 120))
+        t, _ = bench(f"qkv n=1 th={th}", fn, a1, b1, iters=33)
+    fn11 = jax.jit(lambda x, y: creff_qkv_fused(
+        x, y, fa["lr_query_conv"], fa["hr_key_conv"], fa["hr_value_conv"],
+        7, 7, 30, 120))
+    bench("qkv n=11 th=30 (ref)", fn11, a, b)
+    print("DONE", flush=True)
+    sys.exit(0)
+
 ref_out = None
 results = {}
 for th, tw in [(16, 120), (8, 120), (24, 120), (30, 120), (45, 120),

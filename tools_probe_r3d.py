@@ -63,7 +63,49 @@ if which in ("all", "chunk"):
         jnp.asarray(rng.uniform(-16, 16, (G - 1, H, W)).astype(np.float32)),
         jnp.asarray(rng.uniform(-16, 16, (G - 1, H, W)).astype(np.float32)),
     )
-    for chunk in [1, 11, 4]:
+    todo = sys.argv[2].split(",") if len(sys.argv) > 2 else ["1", "unroll", "11", "4"]
+    for chunk in todo:
+        if chunk == "unroll":
+            # python-unrolled frame loop: XLA can overlap the gather-bound
+            # warp of frame i+1 with the MXU-bound convs of frame i (lax.map
+            # serializes iterations); costs an 11x-body compile
+            from arseg_tpu.ops.warp import _resize_plane_bilinear as _rpb
+            from arseg_tpu.ops import warp_feature
+            import jax.numpy as jnp
+
+            lr_cast = jax.tree_util.tree_map(
+                lambda x: x.astype(DT) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                lr_params)
+            hr_cast = jax.tree_util.tree_map(
+                lambda x: x.astype(DT) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                hr_params)
+
+            @jax.jit
+            def gop_unroll(hp, lp, key, frs, fxa, fya):
+                hr_out = hr_model.apply(hp, key.astype(DT))
+                key_logits, ref_feat = hr_out[0], hr_out[-1]
+                fh, fw = ref_feat.shape[1:3]
+                s = jnp.float32(fh / fxa.shape[-2])
+                fxr = _rpb(fxa * s, (fh, fw), True)
+                fyr = _rpb(fya * s, (fh, fw), True)
+                x_lr = resize_bilinear(frs.astype(DT), (H // 2, W // 2),
+                                       align_corners=True)
+                preds = []
+                for i in range(G - 1):
+                    warped = warp_feature(ref_feat, (fxr[i:i+1], fyr[i:i+1]))
+                    feat = lr_model.forward_phase1(lp, x_lr[i:i+1])[-1]
+                    out, _ = lr_model.forward_phase2(lp, feat, warped)
+                    preds.append(jnp.argmax(out, axis=-1).astype(jnp.int32))
+                kp = jnp.argmax(resize_bilinear(key_logits, (H, W), align_corners=True),
+                                axis=-1).astype(jnp.int32)
+                return jnp.concatenate([kp] + preds, axis=0)
+
+            t = bench("ARPipeline UNROLLED", gop_unroll, hr_cast, lr_cast,
+                      keyframe, frames, flows[0], flows[1])
+            if t:
+                print(f"   -> {G/t:.1f} fps", flush=True)
+            continue
+        chunk = int(chunk)
         pipe = ARPipeline(hr_model, lr_model, scale=0.5, dtype=DT, lr_chunk=chunk)
         t = bench(f"ARPipeline chunk={chunk}", pipe, hr_params, lr_params,
                   keyframe, frames, flows)
@@ -84,9 +126,13 @@ if which in ("all", "resize"):
 
     bench("frame resize lerp both", jax.jit(rsz_lerp_both), frames)
 
-    # planes-layout resize: host would ship [n, 3, H, W]
+    # planes-layout resize: host would ship [n, 3, H, W] (built from fresh
+    # host randoms — pulling the device array back through the axon tunnel
+    # crawls at a few MB/s and is what a production loader would never do)
     frp = jnp.asarray(
-        np.ascontiguousarray(np.moveaxis(np.asarray(frames, np.float32), 3, 1))
+        np.ascontiguousarray(
+            np.moveaxis(rng.randn(G - 1, H, W, 3).astype(np.float32), 3, 1)
+        )
     ).astype(DT)
 
     def rsz_planes(x):

@@ -50,7 +50,8 @@ class ARPipeline:
     full input resolution for all GOP frames (keyframe via the HR branch).
     """
 
-    def __init__(self, hr_model, lr_model, scale=0.5, dtype=jnp.float32, lr_chunk=1):
+    def __init__(self, hr_model, lr_model, scale=0.5, dtype=jnp.float32, lr_chunk=1,
+                 p1_batched=True):
         self.hr_model = hr_model
         self.lr_model = lr_model
         self.scale = scale
@@ -72,6 +73,16 @@ class ARPipeline:
         # scheduling pathology, not a per-op bug. chunk=1 is the validated
         # serving config on real hardware.
         self.lr_chunk = lr_chunk
+        # p1_batched: run the LR backbone (phase1) over ALL G-1 frames in one
+        # batch BEFORE the per-frame warp/CReFF map. At batch 1 the LR
+        # backbone's small-spatial convs (e.g. bise18's 12x15x512 stage at
+        # 0.5x CamVid) starve the MXU; batching the GOP recovers the
+        # utilization (measured -10 ms/GOP on camvid-bise18, tools_probe_r3f:
+        # 26.0 -> 16.0 ms). The warp + CReFF + head stay per-frame inside
+        # lax.map — batching THOSE is the known Mosaic/XLA composition crash
+        # (tools_probe_r3b `batched-p1`/`batched-fuse`), and per-frame CReFF
+        # also bounds the halo-tiled k/v memory exactly like lr_chunk=1 did.
+        self.p1_batched = p1_batched
         self._step = jax.jit(self._gop_step)
 
     def _cast(self, tree):
@@ -91,19 +102,14 @@ class ARPipeline:
         except TypeError:
             return self.lr_model.forward_phase2(lr_params, feat, warped)
 
-    def _lr_branch(self, lr_params, x, flow_planes, ref_feat, out_hw):
-        """LR branch for a batch of frames: phase1 -> warp -> CReFF.
-
-        x: frames ALREADY resized to the LR scale (hoisted out of the
-        per-frame lax.map and batched — resizes are matmul-shaped, so one
-        [G-1, ...] call beats G-1 single-frame calls);
-        flow_planes: (fx, fy) [n, Hf, Wf] planes already magnitude-rescaled
-        and resampled to the feature resolution (hoisted likewise)."""
-        n = x.shape[0]
+    def _fuse_branch(self, lr_params, feat, flow_planes, ref_feat, out_hw):
+        """Warp + CReFF + head for a batch of frames whose phase-1 features
+        are already computed. feat: [n, h1, w1, C]; flow_planes at the HR
+        feature resolution."""
+        n = feat.shape[0]
         h, w = out_hw
         ref_rep = jnp.broadcast_to(ref_feat, (n,) + ref_feat.shape[1:])
         warped = warp_feature(ref_rep, flow_planes)
-        feat = _as_tuple(self.lr_model.forward_phase1(lr_params, x))[-1]
         up = getattr(self.lr_model, "phase2_argmax_upscale", 1)
         if hasattr(self.lr_model, "forward_phase2_argmax") and (
             warped.shape[1] * up,
@@ -113,6 +119,17 @@ class ARPipeline:
         out, _ = self._phase2_logits(lr_params, feat, warped)
         out = resize_bilinear(out, (h, w), align_corners=True)
         return jnp.argmax(out, axis=-1)
+
+    def _lr_branch(self, lr_params, x, flow_planes, ref_feat, out_hw):
+        """LR branch for a batch of frames: phase1 -> warp -> CReFF.
+
+        x: frames ALREADY resized to the LR scale (hoisted out of the
+        per-frame lax.map and batched — resizes are matmul-shaped, so one
+        [G-1, ...] call beats G-1 single-frame calls);
+        flow_planes: (fx, fy) [n, Hf, Wf] planes already magnitude-rescaled
+        and resampled to the feature resolution (hoisted likewise)."""
+        feat = _as_tuple(self.lr_model.forward_phase1(lr_params, x))[-1]
+        return self._fuse_branch(lr_params, feat, flow_planes, ref_feat, out_hw)
 
     def _gop_step(self, hr_params, lr_params, keyframe, frames, flows):
         """keyframe [1,H,W,3]; frames [G-1,H,W,3];
@@ -145,21 +162,33 @@ class ARPipeline:
             align_corners=True,
         )
 
-        c = min(self.lr_chunk, g1)
-        pad = (-g1) % c
-        x_p = jnp.pad(x_lr, ((0, pad), (0, 0), (0, 0), (0, 0)))
-        fx_p = jnp.pad(fx, ((0, pad), (0, 0), (0, 0)))
-        fy_p = jnp.pad(fy, ((0, pad), (0, 0), (0, 0)))
-        x_c = x_p.reshape(-1, c, *x_lr.shape[1:])
-        fx_c = fx_p.reshape(-1, c, *fx.shape[1:])
-        fy_c = fy_p.reshape(-1, c, *fy.shape[1:])
+        if self.p1_batched:
+            # LR backbone over the whole GOP in one batch (MXU utilization),
+            # then warp + CReFF + head per frame (memory + compiler safety)
+            feat = _as_tuple(self.lr_model.forward_phase1(lr_params, x_lr))[-1]
+            preds = jax.lax.map(
+                lambda args: self._fuse_branch(
+                    lr_params, args[0][None], (args[1][None], args[2][None]),
+                    ref_feat, (h, w),
+                )[0],
+                (feat, fx, fy),
+            )
+        else:
+            c = min(self.lr_chunk, g1)
+            pad = (-g1) % c
+            x_p = jnp.pad(x_lr, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            fx_p = jnp.pad(fx, ((0, pad), (0, 0), (0, 0)))
+            fy_p = jnp.pad(fy, ((0, pad), (0, 0), (0, 0)))
+            x_c = x_p.reshape(-1, c, *x_lr.shape[1:])
+            fx_c = fx_p.reshape(-1, c, *fx.shape[1:])
+            fy_c = fy_p.reshape(-1, c, *fy.shape[1:])
 
-        preds = jax.lax.map(
-            lambda args: self._lr_branch(
-                lr_params, args[0], (args[1], args[2]), ref_feat, (h, w)
-            ),
-            (x_c, fx_c, fy_c),
-        )
+            preds = jax.lax.map(
+                lambda args: self._lr_branch(
+                    lr_params, args[0], (args[1], args[2]), ref_feat, (h, w)
+                ),
+                (x_c, fx_c, fy_c),
+            )
         preds = preds.reshape(-1, h, w)[:g1]
 
         key_logits = resize_bilinear(key_logits, (h, w), align_corners=True)

@@ -43,11 +43,33 @@ def test_batched_matches_streaming(setup):
 def test_chunk_sizes_agree(setup):
     hr, lr, hp, lp, kf, fr, fl = setup
     outs = [
-        np.asarray(ARPipeline(hr, lr, scale=0.5, lr_chunk=c)(hp, lp, kf, fr, fl))
+        np.asarray(
+            ARPipeline(hr, lr, scale=0.5, lr_chunk=c, p1_batched=False)(
+                hp, lp, kf, fr, fl
+            )
+        )
         for c in (1, 2, 3)
     ]
     np.testing.assert_array_equal(outs[0], outs[1])
     np.testing.assert_array_equal(outs[0], outs[2])
+
+
+@pytest.mark.parametrize("name", ["camvid-psp18", "camvid-bise18"])
+def test_p1_batched_matches_per_frame(name):
+    """The GOP-batched phase-1 path (LR backbone over all frames at once,
+    warp/CReFF mapped per frame) is the same math as the per-frame path —
+    inference BN is batch-independent, so predictions must agree exactly."""
+    hr = build_model(name, fuse=False)
+    lr = build_model(name, fuse=True)
+    hp = hr.init(jax.random.PRNGKey(0))
+    lp = lr.init(jax.random.PRNGKey(1))
+    rng = np.random.RandomState(1)
+    kf = jnp.asarray(rng.randn(1, H, W, 3).astype(np.float32))
+    fr = jnp.asarray(rng.randn(G - 1, H, W, 3).astype(np.float32))
+    fl = jnp.asarray(rng.uniform(-4, 4, (G - 1, H, W, 2)).astype(np.float32))
+    a = np.asarray(ARPipeline(hr, lr, scale=0.5, p1_batched=True)(hp, lp, kf, fr, fl))
+    b = np.asarray(ARPipeline(hr, lr, scale=0.5, p1_batched=False)(hp, lp, kf, fr, fl))
+    np.testing.assert_array_equal(a, b)
 
 
 def test_bf16_mode_runs_and_mostly_agrees(setup):

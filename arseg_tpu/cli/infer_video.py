@@ -52,9 +52,12 @@ def main(argv=None):
         ref_path=args.ref_path or args.data_path,
         flow_path=args.flow_path, flow_shape=flow_shape,
     )
+    # default (lr_chunk=1): GOP-batched phase 1 + per-frame fuse, the fast
+    # serving structure; an explicit --lr_chunk>1 selects the legacy chunked
+    # per-frame path instead
     pipe = ARPipeline(
         hr_model, ar_model, scale=args.scale, dtype=jnp.dtype(args.dtype),
-        lr_chunk=args.lr_chunk,
+        lr_chunk=args.lr_chunk, p1_batched=args.lr_chunk <= 1,
     )
 
     os.makedirs(args.out_dir, exist_ok=True)

@@ -29,6 +29,9 @@ def main(argv=None):
                         "route to reference-scale batches; train/step.py)")
     p.add_argument("--bn_mode", default="sync", choices=["sync", "master"],
                    help="BN stats: global-batch (sync) or DataParallel-faithful replica-0 (master)")
+    p.add_argument("--train_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16 = mixed-precision compute (f32 master params/opt/BN stats/losses)")
     p.add_argument("--cropsize", type=int, nargs=2, default=None, metavar=("W", "H"),
                    help="override the per-dataset crop policy (reference hard-codes it)")
     args = p.parse_args(argv)
@@ -50,6 +53,7 @@ def main(argv=None):
         num_devices=args.num_devices,
         seed=args.seed,
         bn_mode=args.bn_mode,
+        train_dtype=args.train_dtype,
         accum_steps=args.accum_steps,
         cropsize=tuple(args.cropsize) if args.cropsize else None,
     )

@@ -44,6 +44,9 @@ def main(argv=None):
                         "dataset default (720x960 CamVid / 1024x2048 Cityscapes)")
     p.add_argument("--bn_mode", default="sync", choices=["sync", "master"],
                    help="BN stats: global-batch (sync) or DataParallel-faithful replica-0 (master)")
+    p.add_argument("--train_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16 = mixed-precision compute (f32 master params/opt/BN stats/losses)")
     args = p.parse_args(argv)
 
     train_phase2(
@@ -71,6 +74,7 @@ def main(argv=None):
         num_devices=args.num_devices,
         seed=args.seed,
         bn_mode=args.bn_mode,
+        train_dtype=args.train_dtype,
         accum_steps=args.accum_steps,
         flow_shape=(tuple(args.flow_shape) + (2,)) if args.flow_shape else None,
     )

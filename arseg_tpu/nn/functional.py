@@ -144,8 +144,12 @@ def batch_norm(p, x, ctx: Ctx, path: str = ""):
     update of the running stats (torch behavior)."""
     axes = tuple(range(x.ndim - 1))
     if ctx.train:
-        mean = jnp.mean(x, axis=axes)
-        var = jnp.var(x, axis=axes)
+        # batch statistics always accumulate in f32: under mixed-precision
+        # training (bf16 activations) a bf16 mean/var over ~1e5 pixels loses
+        # mantissa; for f32 inputs the cast is the identity
+        xs = x.astype(jnp.float32)
+        mean = jnp.mean(xs, axis=axes)
+        var = jnp.var(xs, axis=axes)
         n = 1
         for a in axes:
             n *= x.shape[a]

@@ -19,8 +19,16 @@ import jax
 import jax.numpy as jnp
 
 
+def _f32(x):
+    """Loss math always runs in f32: under mixed-precision training the
+    model emits bf16 logits/features, and bf16 log-softmax + means over 1e5+
+    pixels lose mantissa. Identity for f32 inputs."""
+    return x.astype(jnp.float32)
+
+
 def nll_loss(log_probs, labels, ignore_label=255):
     """log_probs [N,H,W,C] (log-softmax), labels [N,H,W] int."""
+    log_probs = _f32(log_probs)
     keep = labels != ignore_label
     safe = jnp.where(keep, labels, 0)
     picked = jnp.take_along_axis(log_probs, safe[..., None], axis=-1)[..., 0]
@@ -29,12 +37,13 @@ def nll_loss(log_probs, labels, ignore_label=255):
 
 
 def cross_entropy(logits, labels, ignore_label=255):
-    logp = jax.nn.log_softmax(logits, axis=-1)
+    logp = jax.nn.log_softmax(_f32(logits), axis=-1)
     return nll_loss(logp, labels, ignore_label)
 
 
 def bce_with_logits(logits, targets):
     """BCEWithLogitsLoss, mean reduction. logits/targets [N, C]."""
+    logits, targets = _f32(logits), _f32(targets)
     m = jnp.clip(logits, 0, None)
     losses = m - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
     return jnp.mean(losses)
@@ -43,7 +52,7 @@ def bce_with_logits(logits, targets):
 def _per_pixel_ce(logits, labels, ignore_label):
     keep = labels != ignore_label
     safe = jnp.where(keep, labels, 0)
-    logp = jax.nn.log_softmax(logits, axis=-1)
+    logp = jax.nn.log_softmax(_f32(logits), axis=-1)
     picked = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
     return (-picked) * keep, keep
 
@@ -78,10 +87,11 @@ def ohem_ce(logits, labels, thresh=0.7, ignore_label=255):
 
 
 def mse(a, b):
-    return jnp.mean((a - b) ** 2)
+    return jnp.mean((_f32(a) - _f32(b)) ** 2)
 
 
 def kl_div_log_target(log_p, log_q):
     """KLDivLoss(log_target=True, reduction='mean') parity:
     mean over all elements of exp(target) * (target - input)."""
+    log_p, log_q = _f32(log_p), _f32(log_q)
     return jnp.mean(jnp.exp(log_q) * (log_q - log_p))

@@ -58,9 +58,18 @@ def masked_optimizer(base, params, frozen_prefixes=()):
 
 
 def make_train_step(loss_fn, optimizer, mesh=None, bn_mode="sync",
-                    accum_steps=1):
+                    accum_steps=1, compute_dtype=None):
     """Returns step(params, opt_state, teacher_params, batch, rng) ->
     (params, opt_state, metrics). See module docstring for bn_mode.
+
+    compute_dtype=jnp.bfloat16 enables mixed-precision training, the TPU
+    deployment mode the reference (f32-on-GPU) has no analog for: the
+    forward/backward runs with bf16 params, activations, and image inputs
+    (MXU 4x rate), while everything that needs range/accumulation stays
+    f32 — master params, gradients (the cast's VJP upcasts them), optimizer
+    state, BN batch statistics (nn/functional.py batch_norm accumulates
+    stats in f32), and the loss math itself (train/losses.py upcasts at
+    entry). Flow fields keep f32 (index math). None = pure-f32 parity mode.
 
     accum_steps > 1 splits the batch into that many microbatches and
     accumulates gradients over a lax.scan before the optimizer update —
@@ -79,10 +88,31 @@ def make_train_step(loss_fn, optimizer, mesh=None, bn_mode="sync",
         raise ValueError("accum_steps>1 is the single-device path "
                          "(shard over the mesh instead)")
 
+    def _cast_params(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(compute_dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            tree,
+        )
+
+    def _cast_batch(b):
+        # images/features to compute dtype; labels stay int, flow stays f32
+        return {
+            k: v.astype(compute_dtype) if k in ("image", "ref_image") else v
+            for k, v in b.items()
+        }
+
     def _grads(params, teacher_params, batch, rng):
         def wrapped(p):
             ctx = Fn.Ctx(train=True, rng=rng)
-            loss, metrics = loss_fn(p, teacher_params, batch, ctx)
+            if compute_dtype is not None:
+                p = _cast_params(p)
+                tp = _cast_params(teacher_params)
+                b = _cast_batch(batch)
+            else:
+                tp, b = teacher_params, batch
+            loss, metrics = loss_fn(p, tp, b, ctx)
             return loss, (metrics, ctx.bn_updates)
 
         (_, aux), grads = jax.value_and_grad(wrapped, has_aux=True)(params)

@@ -72,6 +72,16 @@ PSP_SIZES = {
 }
 
 
+def _compute_dtype(train_dtype):
+    """'bfloat16' -> jnp.bfloat16 mixed-precision compute (see
+    train/step.py); None/'float32' -> pure-f32 reference-parity mode."""
+    if train_dtype in (None, "float32"):
+        return None
+    import jax.numpy as jnp
+
+    return jnp.dtype(train_dtype)
+
+
 def build_train_model(model_type, dataset, backend, n_classes, fuse, **kw):
     """Reference model registries (`train.py:141-170`, `train_pair.py:176-254`)."""
     if model_type == "pspnet":
@@ -190,12 +200,14 @@ def train_phase1(
     randomscale=None,
     bn_mode="sync",
     accum_steps=1,
+    train_dtype=None,
 ):
     policy = DATASET_POLICY[dataset]
     os.makedirs(models_path, exist_ok=True)
     cropsize = cropsize or policy["cropsize"]
     randomscale = randomscale or policy["randomscale"]
     n_classes = policy["n_classes"]
+    compute_dtype = _compute_dtype(train_dtype)
 
     if dataset == "camvid":
         train_ds = CamVid(data_path, cropsize=cropsize, mode="train", randomscale=randomscale)
@@ -241,7 +253,7 @@ def train_phase1(
                                 alpha, feat_loss, teacher_model)
     mesh = data_mesh(num_devices, batch_size)
     step_fn = make_train_step(loss_fn, optimizer, mesh=mesh, bn_mode=bn_mode,
-                              accum_steps=accum_steps)
+                              accum_steps=accum_steps, compute_dtype=compute_dtype)
     loop = TrainLoop(mesh, verbose=verbose)
     params = replicate(params, loop.mesh)
 
@@ -302,12 +314,14 @@ def train_phase2(
     randomscale=None,
     bn_mode="sync",
     accum_steps=1,
+    train_dtype=None,
 ):
     policy = DATASET_POLICY[dataset]
     os.makedirs(models_path, exist_ok=True)
     cropsize = cropsize or policy["cropsize"]
     randomscale = randomscale or policy["randomscale"]
     n_classes = policy["n_classes"]
+    compute_dtype = _compute_dtype(train_dtype)
 
     mv_dir = os.path.join(
         sequence_path, f"{bitrate}M-GOP{ref_gap}", f"MVmap_GOP{ref_gap}_dist_{ref_gap - 1}"
@@ -387,9 +401,11 @@ def train_phase2(
     )
     mesh = data_mesh(num_devices, batch_size)
     step_stage1 = make_train_step(mk_loss(False), optimizer, mesh=mesh,
-                                  bn_mode=bn_mode, accum_steps=accum_steps)
+                                  bn_mode=bn_mode, accum_steps=accum_steps,
+                                  compute_dtype=compute_dtype)
     step_stage2 = make_train_step(mk_loss(True), optimizer, mesh=mesh,
-                                  bn_mode=bn_mode, accum_steps=accum_steps)
+                                  bn_mode=bn_mode, accum_steps=accum_steps,
+                                  compute_dtype=compute_dtype)
 
     loop = TrainLoop(mesh, verbose=verbose)
     params = replicate(params, loop.mesh)

@@ -263,3 +263,56 @@ def test_train_pair_cli_smoke(camvid_tree, tmp_path):
         "--flow_shape", "48", "64",
     ])
     assert any(f.endswith(".npz") for f in os.listdir(tmp_path / "exp"))
+
+
+@pytest.mark.heavy
+def test_mixed_precision_training_step():
+    """compute_dtype=bfloat16: bf16 forward/backward with f32 master params,
+    optimizer state, BN running stats, and losses (train/step.py). Checks:
+    params/opt/BN stay f32, loss tracks the f32 step, loss decreases over
+    steps, and grads flow (params actually change). (heavy: two bise18
+    phase-2 train-step compiles, ~4-7 min on CPU.)"""
+    import jax.numpy as jnp
+
+    from arseg_tpu.train.objectives import build_phase2_loss
+    from arseg_tpu.train.step import make_train_step, masked_optimizer
+    from arseg_tpu.train.optim import make_optimizer, cosine_schedule
+
+    model = build_model("camvid-bise18", fuse=True)
+    teacher = build_model("camvid-bise18", fuse=False)
+    params = model.init(jax.random.PRNGKey(0))
+    tparams = teacher.init(jax.random.PRNGKey(1))
+    loss_fn = build_phase2_loss(model, teacher, "bisenet", "camvid", (64, 64),
+                                0.5, feat_loss="mse", stage2=True)
+    opt = masked_optimizer(make_optimizer("sgd", cosine_schedule(1e-2, 100)), params)
+    step32 = make_train_step(loss_fn, opt)
+    step16 = make_train_step(loss_fn, opt, compute_dtype=jnp.bfloat16)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": rng.randn(2, 64, 64, 3).astype(np.float32),
+        "label": rng.randint(0, 12, (2, 64, 64)).astype(np.int32),
+        "ref_image": rng.randn(2, 64, 64, 3).astype(np.float32),
+        "flow": rng.uniform(-2, 2, (2, 64, 64, 2)).astype(np.float32),
+    }
+    key = jax.random.PRNGKey(7)
+
+    _, _, m32 = step32(params, opt.init(params), tparams, batch, key)
+    p, s = params, opt.init(params)
+    losses = []
+    for i in range(3):
+        p, s, m = step16(p, s, tparams, batch, jax.random.PRNGKey(7 + i))
+        losses.append(float(m["loss"]))
+
+    # all master state stays f32 (incl. BN running stats)
+    assert all(l.dtype == np.float32 for l in jax.tree_util.tree_leaves(p)
+               if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating))
+    # bf16 loss tracks the f32 loss on the same batch
+    assert abs(losses[0] - float(m32["loss"])) / float(m32["loss"]) < 0.05
+    # training makes progress
+    assert losses[-1] < losses[0]
+    changed = max(
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree_util.tree_leaves(p), jax.tree_util.tree_leaves(params))
+    )
+    assert changed > 0

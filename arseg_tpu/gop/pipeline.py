@@ -216,13 +216,15 @@ class ARPipeline:
         @jax.jit
         def frame_step(lr_params, ref_feat, frame, flow):
             f = scale_and_resize_flow(flow, ref_feat.shape[1:3], mode="bilinear", split=True)
-            warped = warp_feature(ref_feat, f)
             h, w = frame.shape[1:3]
             x = resize_bilinear(frame, (int(h * self.scale), int(w * self.scale)),
                                 align_corners=True)
             feat = _as_tuple(self.lr_model.forward_phase1(lr_params, x))[-1]
-            out, _ = self.lr_model.forward_phase2(lr_params, feat, warped)
-            out = resize_bilinear(out, (h, w), align_corners=True)
-            return jnp.argmax(out, axis=-1).astype(jnp.int32)
+            # same warp + fused phase-2 + argmax dispatch as the batched
+            # path, so latency mode serves with the fast head (and stays
+            # prediction-identical to it — tests/test_gop_pipeline.py)
+            return self._fuse_branch(lr_params, feat, f, ref_feat, (h, w)).astype(
+                jnp.int32
+            )
 
         return key_step, frame_step

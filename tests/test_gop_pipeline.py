@@ -54,6 +54,28 @@ def test_chunk_sizes_agree(setup):
     np.testing.assert_array_equal(outs[0], outs[2])
 
 
+def test_streaming_matches_batched_bise18():
+    """Latency mode serves through the same fused-argmax head as the batched
+    pipeline (bise18 dispatches forward_phase2_argmax) — predictions must
+    match the batched program exactly."""
+    hr = build_model("camvid-bise18", fuse=False)
+    lr = build_model("camvid-bise18", fuse=True)
+    hp = hr.init(jax.random.PRNGKey(0))
+    lp = lr.init(jax.random.PRNGKey(1))
+    rng = np.random.RandomState(2)
+    kf = jnp.asarray(rng.randn(1, H, W, 3).astype(np.float32))
+    fr = jnp.asarray(rng.randn(G - 1, H, W, 3).astype(np.float32))
+    fl = jnp.asarray(rng.uniform(-4, 4, (G - 1, H, W, 2)).astype(np.float32))
+    pipe = ARPipeline(hr, lr, scale=0.5)
+    batched = np.asarray(pipe(hp, lp, kf, fr, fl))
+    key_step, frame_step = pipe.streaming_step()
+    key_pred, ref_feat = key_step(hp, kf)
+    preds = [np.asarray(key_pred)]
+    for i in range(G - 1):
+        preds.append(np.asarray(frame_step(lp, ref_feat, fr[i : i + 1], fl[i : i + 1])))
+    np.testing.assert_array_equal(batched, np.concatenate(preds, axis=0))
+
+
 @pytest.mark.parametrize("name", ["camvid-psp18", "camvid-bise18"])
 def test_p1_batched_matches_per_frame(name):
     """The GOP-batched phase-1 path (LR backbone over all frames at once,

@@ -201,6 +201,37 @@ class ARPipeline:
     def __call__(self, hr_params, lr_params, keyframe, frames, flows):
         return self._step(hr_params, lr_params, keyframe, frames, flows)
 
+    def sharded_step(self, mesh):
+        """Multi-stream serving over a device mesh: S independent video
+        streams sharded over the 1-D 'data' axis, each device running the
+        full GOP program on its local streams (params replicated). The
+        deployment scale-out axis — throughput multiplies by mesh size with
+        no cross-device traffic (streams are independent; the same mesh
+        composes with the eval engine's psum reduction when accuracy is
+        tracked in-fleet).
+
+        Returns a jitted fn(hr_params, lr_params, keyframes [S,H,W,3],
+        frames [S,G-1,H,W,3], fx [S,G-1,Hf,Wf], fy likewise) -> preds
+        [S,G,H,W]. S must be a multiple of the mesh size; place the stream
+        inputs with parallel.shard_batch for multi-chip runs."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def local(hp, lp, kf, fr, fx, fy):
+            def one(args):
+                k, f, x, y = args
+                return self._gop_step(hp, lp, k[None], f, (x, y))
+
+            return jax.lax.map(one, (kf, fr, fx, fy))
+
+        fn = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(), P("data"), P("data"), P("data"), P("data")),
+            out_specs=P("data"),
+        )
+        return jax.jit(fn)
+
     def streaming_step(self):
         """Frame-at-a-time variant (latency mode): returns jitted fns
         (key_step, frame_step) with the keyframe feature threaded as state,

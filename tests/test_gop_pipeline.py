@@ -54,6 +54,33 @@ def test_chunk_sizes_agree(setup):
     np.testing.assert_array_equal(outs[0], outs[2])
 
 
+def test_sharded_streams_match_per_stream(setup):
+    """Multi-stream serving: 4 streams sharded over a 4-device mesh produce
+    exactly the per-stream pipeline outputs (streams are independent; the
+    mesh is the deployment scale-out axis)."""
+    from arseg_tpu.parallel import data_mesh, shard_batch, replicate
+
+    hr, lr, hp, lp, kf, fr, fl = setup
+    S = 4
+    rng = np.random.RandomState(3)
+    kfs = jnp.asarray(rng.randn(S, H, W, 3).astype(np.float32))
+    frs = jnp.asarray(rng.randn(S, G - 1, H, W, 3).astype(np.float32))
+    fxs = jnp.asarray(rng.uniform(-4, 4, (S, G - 1, H, W)).astype(np.float32))
+    fys = jnp.asarray(rng.uniform(-4, 4, (S, G - 1, H, W)).astype(np.float32))
+
+    pipe = ARPipeline(hr, lr, scale=0.5)
+    mesh = data_mesh(4)
+    step = pipe.sharded_step(mesh)
+    hp_r, lp_r = replicate(hp, mesh), replicate(lp, mesh)
+    batch = shard_batch({"kf": kfs, "fr": frs, "fx": fxs, "fy": fys}, mesh)
+    out = np.asarray(step(hp_r, lp_r, batch["kf"], batch["fr"], batch["fx"], batch["fy"]))
+    assert out.shape == (S, G, H, W)
+
+    for s in range(S):
+        ref = np.asarray(pipe(hp, lp, kfs[s : s + 1], frs[s], (fxs[s], fys[s])))
+        np.testing.assert_array_equal(out[s], ref)
+
+
 def test_streaming_matches_batched_bise18():
     """Latency mode serves through the same fused-argmax head as the batched
     pipeline (bise18 dispatches forward_phase2_argmax) — predictions must

@@ -131,10 +131,51 @@ class ARPipeline:
         feat = _as_tuple(self.lr_model.forward_phase1(lr_params, x))[-1]
         return self._fuse_branch(lr_params, feat, flow_planes, ref_feat, out_hw)
 
+    def _multi_gop_step(self, hr_params, lr_params, keyframes, frames, flows):
+        """Throughput mode: B GOPs in one program. keyframes [B,H,W,3];
+        frames [B,G-1,H,W,3]; flows (fx, fy) of [B,G-1,Hf,Wf]. Returns
+        [B,G,H,W]. The HR keyframe branch and the LR phase 1 both run
+        batched over ALL B GOPs (the HR forward gains ~1.5x at batch 12 vs
+        frame-at-a-time, tools_probe_r3h); warp + CReFF stay per-frame."""
+        b, g1, h, w, _ = frames.shape
+        fx, fy = flows
+        hr_params, lr_params, keyframes, frames = self._cast(
+            (hr_params, lr_params, keyframes, frames)
+        )
+        hr_out = _as_tuple(self.hr_model.apply(hr_params, keyframes))
+        key_logits, ref_feat = hr_out[0], hr_out[-1]  # [B,...]
+
+        fx = fx.reshape(b * g1, *fx.shape[2:])
+        fy = fy.reshape(b * g1, *fy.shape[2:])
+        fx, fy = _resize_flow_planes((fx, fy), ref_feat.shape[1:3])
+        x_lr = resize_bilinear(
+            frames.reshape(b * g1, h, w, frames.shape[-1]),
+            (int(h * self.scale), int(w * self.scale)),
+            align_corners=True,
+        )
+        feat = _as_tuple(self.lr_model.forward_phase1(lr_params, x_lr))[-1]
+        ref_rep = jnp.repeat(ref_feat, g1, axis=0)  # frame i's own keyframe
+
+        preds = jax.lax.map(
+            lambda args: self._fuse_branch(
+                lr_params, args[0][None], (args[1][None], args[2][None]),
+                args[3][None], (h, w),
+            )[0],
+            (feat, fx, fy, ref_rep),
+        )
+        preds = preds.reshape(b, g1, h, w)
+        key_logits = resize_bilinear(key_logits, (h, w), align_corners=True)
+        key_preds = jnp.argmax(key_logits, axis=-1)[:, None]
+        return jnp.concatenate([key_preds, preds], axis=1).astype(jnp.int32)
+
     def _gop_step(self, hr_params, lr_params, keyframe, frames, flows):
         """keyframe [1,H,W,3]; frames [G-1,H,W,3];
         flows: (fx, fy) tuple of [G-1,Hf,Wf] planes (preferred — split on
-        host), or a packed [G-1,Hf,Wf,2] array (compat)."""
+        host), or a packed [G-1,Hf,Wf,2] array (compat).
+        Multi-GOP throughput mode: keyframe [B,H,W,3] with frames
+        [B,G-1,H,W,3] dispatches _multi_gop_step (returns [B,G,H,W])."""
+        if frames.ndim == 5:
+            return self._multi_gop_step(hr_params, lr_params, keyframe, frames, flows)
         g1, h, w, _ = frames.shape
         hr_params, lr_params, keyframe, frames = self._cast(
             (hr_params, lr_params, keyframe, frames)

@@ -54,6 +54,24 @@ def test_chunk_sizes_agree(setup):
     np.testing.assert_array_equal(outs[0], outs[2])
 
 
+def test_multi_gop_matches_single(setup):
+    """Throughput mode (B GOPs per program, HR keyframes + phase 1 batched
+    across GOPs) must reproduce the single-GOP program exactly."""
+    hr, lr, hp, lp, kf, fr, fl = setup
+    B = 2
+    rng = np.random.RandomState(4)
+    kfs = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32))
+    frs = jnp.asarray(rng.randn(B, G - 1, H, W, 3).astype(np.float32))
+    fxs = jnp.asarray(rng.uniform(-4, 4, (B, G - 1, H, W)).astype(np.float32))
+    fys = jnp.asarray(rng.uniform(-4, 4, (B, G - 1, H, W)).astype(np.float32))
+    pipe = ARPipeline(hr, lr, scale=0.5)
+    multi = np.asarray(pipe(hp, lp, kfs, frs, (fxs, fys)))
+    assert multi.shape == (B, G, H, W)
+    for b in range(B):
+        one = np.asarray(pipe(hp, lp, kfs[b : b + 1], frs[b], (fxs[b], fys[b])))
+        np.testing.assert_array_equal(multi[b], one)
+
+
 def test_sharded_streams_match_per_stream(setup):
     """Multi-stream serving: 4 streams sharded over a 4-device mesh produce
     exactly the per-stream pipeline outputs (streams are independent; the

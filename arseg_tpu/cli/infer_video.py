@@ -30,13 +30,17 @@ def main(argv=None):
     p.add_argument("--lr_chunk", type=int, default=1)
     p.add_argument("--colorize", action="store_true")
     p.add_argument("--flow_shape", type=int, nargs=2, default=None)
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="GOPs staged ahead (host decode + H2D overlap device "
+                        "compute; 0 = serial loading)")
+    p.add_argument("--io_workers", type=int, default=2)
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
-    from PIL import Image
 
     from arseg_tpu.data.camvid import CamVidWithFlowTest, FLOW_SHAPE
     from arseg_tpu.gop import ARPipeline
+    from arseg_tpu.gop.feeder import AsyncWriter, GOPFeeder
     from arseg_tpu.models import build_model
     from arseg_tpu.utils.checkpoint import load_checkpoint
     from arseg_tpu.utils.profiling import StepTimer
@@ -65,26 +69,21 @@ def main(argv=None):
     names = [os.path.basename(p_)[:-4] for p_ in ds.data]
     timer = StepTimer(frames_per_step=g)
     n_gops = len(ds) // g
-    for gi in range(n_gops):
-        samples = [ds[gi * g + k] for k in range(g)]
-        keyframe = jnp.asarray(samples[0]["image"][None])
-        frames = jnp.asarray(np.stack([s["image"] for s in samples[1:]]))
-        flows_np = np.stack([s["flow"] for s in samples[1:]])
-        flows = (
-            jnp.asarray(np.ascontiguousarray(flows_np[..., 0])),
-            jnp.asarray(np.ascontiguousarray(flows_np[..., 1])),
-        )
+    # pipelined serving: worker threads decode PNGs + MV bins and stage
+    # GOPs on device `--prefetch` ahead; a writer thread handles D2H + PNG
+    # encode — host IO overlaps device compute both ways (gop/feeder.py)
+    feeder = GOPFeeder(
+        ds, g, num_workers=args.io_workers,
+        depth=max(1, args.prefetch), stage=args.prefetch > 0,
+    )
+    writer = AsyncWriter(args.out_dir, colorize=args.colorize)
+    for gi, keyframe, frames, flows in feeder:
         with timer:
-            preds = np.asarray(pipe(hr_params, ar_params, keyframe, frames, flows))
-        for k in range(g):
-            out = preds[k].astype(np.uint8)
-            if args.colorize:
-                from arseg_tpu.tools.labels import index_to_rgb
-
-                out = index_to_rgb(out)
-            Image.fromarray(out).save(
-                os.path.join(args.out_dir, names[gi * g + k] + ".png")
-            )
+            preds = pipe(hr_params, ar_params, jnp.asarray(keyframe),
+                         jnp.asarray(frames), flows)
+            np.asarray(preds[0, 0, 0])  # one-element sync (axon-safe, see bench.py)
+        writer.put(preds, names[gi * g : (gi + 1) * g])
+    writer.close()
     s = timer.summary()
     rate = (
         f"{s['frames_per_sec']:.1f} frames/sec"

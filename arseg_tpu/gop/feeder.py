@@ -1,0 +1,189 @@
+"""Serving-side GOP prefetch: host decode + MV read overlap device compute.
+
+The reference serves strictly sequentially (`/root/reference/evaluation.py`
+main loops: PIL decode -> forward, one frame at a time — decode stalls the
+accelerator between frames). TPU-native serving instead treats the GOP as
+the scheduling unit and pipelines four stages:
+
+  worker threads   PNG decode + merged-MV `.bin` read + host flow-plane
+                   split (the serving layout — see gop/pipeline.py)
+  device stage     async `jax.device_put` a bounded `depth` GOPs ahead —
+                   the H2D DMA overlaps the previous GOP's compute (the
+                   north star's "double-buffered HBM prefetch"; depth=2 is
+                   classic double buffering)
+  main thread      the jitted GOP program
+  writer thread    D2H + colorize + PNG encode (`AsyncWriter`)
+
+Threads suffice for host overlap: PIL/zlib decode, `np.fromfile`, and
+`device_put` all release the GIL (same argument as `data/loader.py`).
+"""
+
+import os
+import queue
+import threading
+
+import numpy as np
+
+
+def _assemble(dataset, start, g):
+    """Host-side GOP assembly: one keyframe + g-1 frames + split flow
+    planes, as contiguous numpy (the exact layout `ARPipeline` consumes)."""
+    samples = [dataset[start + k] for k in range(g)]
+    keyframe = samples[0]["image"][None]
+    frames = np.stack([s["image"] for s in samples[1:]])
+    flows = np.stack([s["flow"] for s in samples[1:]])
+    fx = np.ascontiguousarray(flows[..., 0])
+    fy = np.ascontiguousarray(flows[..., 1])
+    return keyframe, frames, fx, fy
+
+
+class GOPFeeder:
+    """Iterate a sequence dataset GOP-at-a-time with background host
+    assembly and async device staging.
+
+    Yields (gop_index, keyframe, frames, (fx, fy)) with arrays already on
+    device (stage=True) or as host numpy (stage=False). Order is strict;
+    worker exceptions re-raise in the consumer."""
+
+    def __init__(self, dataset, ref_gap, num_workers=2, depth=2, stage=True):
+        self.dataset = dataset
+        self.g = int(ref_gap)
+        self.num_workers = max(1, num_workers)
+        self.depth = max(1, depth)
+        self.stage = stage
+
+    def __len__(self):
+        return len(self.dataset) // self.g
+
+    def _host_iter(self):
+        n_gops = len(self)
+        results = {}
+        lock = threading.Condition()
+        stop = threading.Event()
+
+        def worker(wid):
+            for gi in range(wid, n_gops, self.num_workers):
+                if stop.is_set():
+                    return
+                with lock:
+                    # bound look-ahead so decode memory stays O(depth+workers)
+                    while (
+                        gi - self._emitted[0] > self.depth + self.num_workers
+                        and not stop.is_set()
+                    ):
+                        lock.wait()
+                if stop.is_set():
+                    return
+                try:
+                    item = _assemble(self.dataset, gi * self.g, self.g)
+                except Exception as e:  # surface in consumer
+                    item = e
+                with lock:
+                    results[gi] = item
+                    lock.notify_all()
+
+        self._emitted = [0]
+        threads = [
+            threading.Thread(target=worker, args=(w,), daemon=True)
+            for w in range(self.num_workers)
+        ]
+        for t in threads:
+            t.start()
+        try:
+            for gi in range(n_gops):
+                with lock:
+                    while gi not in results:
+                        lock.wait()
+                    item = results.pop(gi)
+                    self._emitted[0] = gi
+                    lock.notify_all()
+                if isinstance(item, Exception):
+                    raise item
+                yield gi, item
+        finally:
+            stop.set()
+            with lock:
+                lock.notify_all()
+
+    def __iter__(self):
+        if not self.stage:
+            for gi, (kf, fr, fx, fy) in self._host_iter():
+                yield gi, kf, fr, (fx, fy)
+            return
+
+        import collections
+
+        import jax
+
+        def put(item):
+            gi, (kf, fr, fx, fy) = item
+            return (
+                gi,
+                jax.device_put(kf),
+                jax.device_put(fr),
+                (jax.device_put(fx), jax.device_put(fy)),
+            )
+
+        buf = collections.deque()
+        it = self._host_iter()
+        try:
+            for _ in range(self.depth):
+                buf.append(put(next(it)))
+        except StopIteration:
+            pass
+        while buf:
+            out = buf.popleft()
+            try:
+                buf.append(put(next(it)))
+            except StopIteration:
+                pass
+            yield out
+
+
+class AsyncWriter:
+    """Background D2H + PNG writer: `put(preds, names)` enqueues a device
+    array of class maps; a writer thread pulls it to host (np.asarray — the
+    only blocking hop, off the dispatch thread) and encodes PNGs. Bounded
+    queue (depth) so at most `depth` GOPs of outputs are in flight."""
+
+    def __init__(self, out_dir, colorize=False, depth=2):
+        self.out_dir = out_dir
+        self.colorize = colorize
+        self._q = queue.Queue(maxsize=max(1, depth))
+        self._err = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        from PIL import Image
+
+        if self.colorize:
+            from arseg_tpu.tools.labels import index_to_rgb
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            try:
+                preds, names = item
+                preds = np.asarray(preds).astype(np.uint8)
+                for k, name in enumerate(names):
+                    out = preds[k]
+                    if self.colorize:
+                        out = index_to_rgb(out)
+                    Image.fromarray(out).save(
+                        os.path.join(self.out_dir, name + ".png")
+                    )
+            except Exception as e:
+                self._err = e
+                return
+
+    def put(self, preds, names):
+        if self._err is not None:
+            raise self._err
+        self._q.put((preds, list(names)))
+
+    def close(self):
+        self._q.put(None)
+        self._thread.join()
+        if self._err is not None:
+            raise self._err

@@ -34,6 +34,11 @@ def main(argv=None):
                    help="GOPs staged ahead (host decode + H2D overlap device "
                         "compute; 0 = serial loading)")
     p.add_argument("--io_workers", type=int, default=2)
+    p.add_argument("--gop_batch", type=int, default=1,
+                   help="GOPs per program call (multi-GOP throughput mode: "
+                        "HR keyframes + LR phase 1 batch across the stack; "
+                        "~1.5x at 8 on v5e — PERF.md 'batching arms race'. "
+                        "1 = latency-oriented GOP-at-a-time)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -75,14 +80,17 @@ def main(argv=None):
     feeder = GOPFeeder(
         ds, g, num_workers=args.io_workers,
         depth=max(1, args.prefetch), stage=args.prefetch > 0,
+        gop_batch=args.gop_batch,
     )
     writer = AsyncWriter(args.out_dir, colorize=args.colorize)
     for gi, keyframe, frames, flows in feeder:
-        with timer:
+        n_frames = (frames.shape[0] * g) if frames.ndim == 5 else g
+        with timer.step(n_frames):
             preds = pipe(hr_params, ar_params, jnp.asarray(keyframe),
                          jnp.asarray(frames), flows)
-            np.asarray(preds[0, 0, 0])  # one-element sync (axon-safe, see bench.py)
-        writer.put(preds, names[gi * g : (gi + 1) * g])
+            np.asarray(preds[(0,) * preds.ndim])  # one-elt sync (axon-safe, see bench.py)
+        writer.put(preds.reshape(-1, *preds.shape[-2:]),
+                   names[gi * g : gi * g + n_frames])
     writer.close()
     s = timer.summary()
     rate = (

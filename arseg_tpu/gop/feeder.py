@@ -43,14 +43,22 @@ class GOPFeeder:
 
     Yields (gop_index, keyframe, frames, (fx, fy)) with arrays already on
     device (stage=True) or as host numpy (stage=False). Order is strict;
-    worker exceptions re-raise in the consumer."""
+    worker exceptions re-raise in the consumer.
 
-    def __init__(self, dataset, ref_gap, num_workers=2, depth=2, stage=True):
+    gop_batch=B stacks B consecutive GOPs into the multi-GOP throughput
+    layout (keyframes [B,H,W,3], frames [B,G-1,H,W,3] — ARPipeline batches
+    HR keyframes + LR phase 1 across the stack; PERF.md "batching arms
+    race"). The tail (n_gops % B) is emitted as single GOPs so only the
+    two program shapes ever compile."""
+
+    def __init__(self, dataset, ref_gap, num_workers=2, depth=2, stage=True,
+                 gop_batch=1):
         self.dataset = dataset
         self.g = int(ref_gap)
         self.num_workers = max(1, num_workers)
         self.depth = max(1, depth)
         self.stage = stage
+        self.gop_batch = max(1, int(gop_batch))
 
     def __len__(self):
         return len(self.dataset) // self.g
@@ -105,9 +113,31 @@ class GOPFeeder:
             with lock:
                 lock.notify_all()
 
+    def _batched_iter(self):
+        """Group consecutive GOPs into [B, ...] stacks (full stacks only;
+        the ragged tail is re-emitted GOP-at-a-time)."""
+        if self.gop_batch == 1:
+            yield from self._host_iter()
+            return
+        n_gops = len(self)
+        n_full = (n_gops // self.gop_batch) * self.gop_batch
+        pending = []
+        for gi, item in self._host_iter():
+            if gi >= n_full:
+                yield gi, item
+                continue
+            pending.append(item)
+            if len(pending) == self.gop_batch:
+                kf = np.stack([p[0][0] for p in pending])
+                fr = np.stack([p[1] for p in pending])
+                fx = np.stack([p[2] for p in pending])
+                fy = np.stack([p[3] for p in pending])
+                yield gi - self.gop_batch + 1, (kf, fr, fx, fy)
+                pending = []
+
     def __iter__(self):
         if not self.stage:
-            for gi, (kf, fr, fx, fy) in self._host_iter():
+            for gi, (kf, fr, fx, fy) in self._batched_iter():
                 yield gi, kf, fr, (fx, fy)
             return
 
@@ -125,7 +155,7 @@ class GOPFeeder:
             )
 
         buf = collections.deque()
-        it = self._host_iter()
+        it = self._batched_iter()
         try:
             for _ in range(self.depth):
                 buf.append(put(next(it)))

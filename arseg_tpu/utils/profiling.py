@@ -44,7 +44,15 @@ class StepTimer:
     def __init__(self, frames_per_step=1):
         self.frames_per_step = frames_per_step
         self.times = []
+        self.frames = []
         self._t0 = None
+        self._next_frames = None
+
+    def step(self, frames):
+        """Context for a step covering `frames` frames (variable-size steps,
+        e.g. multi-GOP stacks + a single-GOP tail): `with timer.step(n): ...`"""
+        self._next_frames = frames
+        return self
 
     def __enter__(self):
         self._t0 = time.perf_counter()
@@ -52,20 +60,25 @@ class StepTimer:
 
     def __exit__(self, *exc):
         self.times.append(time.perf_counter() - self._t0)
+        self.frames.append(
+            self.frames_per_step if self._next_frames is None else self._next_frames
+        )
+        self._next_frames = None
 
     @property
     def fps(self):
         if not self.times:
             return 0.0
-        return self.frames_per_step * len(self.times) / sum(self.times)
+        return sum(self.frames) / sum(self.times)
 
     def summary(self, skip_warmup=1):
         ts = self.times[skip_warmup:] or self.times
+        fs = self.frames[skip_warmup:] or self.frames
         return {
             "steps": len(self.times),
             "mean_ms": 1e3 * sum(ts) / len(ts),
             "min_ms": 1e3 * min(ts),
-            "frames_per_sec": self.frames_per_step * len(ts) / sum(ts),
+            "frames_per_sec": sum(fs) / sum(ts),
         }
 
     def dump(self, path):

@@ -72,6 +72,26 @@ def test_feeder_device_stage(seq_dir):
     np.testing.assert_array_equal(np.asarray(fx), efx)
 
 
+def test_feeder_gop_batch(seq_dir):
+    """gop_batch=2 over 3 GOPs: one [2,...] stack + the tail as a single
+    GOP, covering every frame exactly once in order."""
+    ds = _dataset(seq_dir)
+    out = list(GOPFeeder(ds, GAP, depth=2, stage=False, gop_batch=2))
+    assert [gi for gi, *_ in out] == [0, 2]
+    gi, kf, fr, (fx, fy) = out[0]
+    assert kf.shape == (2, H, W, 3) and fr.shape == (2, GAP - 1, H, W, 3)
+    assert fx.shape == (2, GAP - 1, H // 2, W // 2)
+    for b in range(2):
+        ekf, efr, efx, efy = _assemble(ds, b * GAP, GAP)
+        np.testing.assert_array_equal(kf[b], ekf[0])
+        np.testing.assert_array_equal(fr[b], efr)
+        np.testing.assert_array_equal(fx[b], efx)
+        np.testing.assert_array_equal(fy[b], efy)
+    gi, kf, fr, _ = out[1]
+    assert gi == 2 and kf.shape == (1, H, W, 3) and fr.shape == (GAP - 1, H, W, 3)
+    np.testing.assert_array_equal(kf, _assemble(ds, 2 * GAP, GAP)[0])
+
+
 def test_feeder_error_propagates(seq_dir):
     class Broken:
         def __len__(self):

@@ -147,22 +147,47 @@ def _alter_step(highres_model, model, scale, n_classes, ignore_label, dtype, mes
     return step
 
 
+def _staged(loader, prep, mesh, prefetch):
+    """Host-prep each batch then stage it on device `prefetch` steps ahead
+    (data/loader.py device_prefetch): the H2D transfer of batch k+1 overlaps
+    the device compute of batch k — the eval-side double-buffered HBM
+    prefetch (SURVEY §7.5). In sharded mode batches are placed with the
+    'data' NamedSharding so the shard_map step starts with zero relayout."""
+    it = (prep(b) for b in loader)
+    if prefetch <= 0:
+        return it
+    from arseg_tpu.data.loader import device_prefetch
+
+    sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+
+        sharding = NamedSharding(mesh, P("data"))
+    return device_prefetch(it, size=prefetch, sharding=sharding)
+
+
 class EvalConstRes:
-    def __init__(self, scale=0.5, ignore_label=255, nanmean=False, mesh=None, dtype=None):
+    def __init__(self, scale=0.5, ignore_label=255, nanmean=False, mesh=None,
+                 dtype=None, prefetch=2):
         self.scale = scale
         self.ignore_label = ignore_label
         self.nanmean = nanmean
         self.mesh = mesh
         self.dtype = dtype
+        self.prefetch = prefetch
 
     def __call__(self, model, params, loader, n_classes, progress=None):
         step = _const_step(model, self.scale, n_classes, self.ignore_label,
                            self.dtype, self.mesh)
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
-        hist = jnp.zeros((n_classes, n_classes), dtype=jnp.float32)
-        for batch in loader:
+
+        def prep(batch):
             if n_dev > 1:
                 batch = _pad_to_multiple(batch, n_dev, "label", self.ignore_label)
+            return {"image": batch["image"], "label": batch["label"]}
+
+        hist = jnp.zeros((n_classes, n_classes), dtype=jnp.float32)
+        for batch in _staged(loader, prep, self.mesh, self.prefetch):
             hist = step(params, hist, batch["image"], batch["label"])
             if progress:
                 progress()
@@ -170,19 +195,21 @@ class EvalConstRes:
 
 
 class EvalAlterRes:
-    def __init__(self, scale=0.5, ignore_label=255, nanmean=False, mesh=None, dtype=None):
+    def __init__(self, scale=0.5, ignore_label=255, nanmean=False, mesh=None,
+                 dtype=None, prefetch=2):
         self.scale = scale
         self.ignore_label = ignore_label
         self.nanmean = nanmean
         self.mesh = mesh
         self.dtype = dtype
+        self.prefetch = prefetch
 
     def __call__(self, highres_model, hr_params, model, params, loader, n_classes, progress=None):
         step = _alter_step(highres_model, model, self.scale, n_classes,
                            self.ignore_label, self.dtype, self.mesh)
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
-        hist = jnp.zeros((n_classes, n_classes), dtype=jnp.float32)
-        for batch in loader:
+
+        def prep(batch):
             flow = np.asarray(batch["flow"])
             batch = {
                 "image": batch["image"],
@@ -193,6 +220,10 @@ class EvalAlterRes:
             }
             if n_dev > 1:
                 batch = _pad_to_multiple(batch, n_dev, "label", self.ignore_label)
+            return batch
+
+        hist = jnp.zeros((n_classes, n_classes), dtype=jnp.float32)
+        for batch in _staged(loader, prep, self.mesh, self.prefetch):
             hist = step(
                 hr_params,
                 params,

@@ -15,11 +15,13 @@ import numpy as np
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="AR video inference over a decoded sequence.")
-    p.add_argument("--data_path", required=True, help="decoded frame dir (NNNNN.png)")
+    p.add_argument("--data_path", default=None,
+                   help="decoded frame dir (NNNNN.png); required unless --streams")
     p.add_argument("--ref_path", default=None,
                    help="decoded keyframe dir (default: --data_path — "
                         "keyframes read from the decoded sequence itself)")
-    p.add_argument("--flow_path", required=True, help="merged MV bin dir")
+    p.add_argument("--flow_path", default=None,
+                   help="merged MV bin dir; required unless --streams")
     p.add_argument("--out_dir", required=True)
     p.add_argument("--hr_snapshot", required=True)
     p.add_argument("--ar_snapshot", required=True)
@@ -39,6 +41,16 @@ def main(argv=None):
                         "HR keyframes + LR phase 1 batch across the stack; "
                         "~1.5x at 8 on v5e — PERF.md 'batching arms race'. "
                         "1 = latency-oriented GOP-at-a-time)")
+    p.add_argument("--streams", default=None,
+                   help="multi-stream sharded serving: comma list of "
+                        "data_dir:flow_dir[:ref_dir] specs, one per stream. "
+                        "Streams shard over a 'data' device mesh "
+                        "(ARPipeline.sharded_step); outputs land in "
+                        "out_dir/s<k>/. Stream count must be a multiple of "
+                        "--num_devices.")
+    p.add_argument("--num_devices", type=int, default=None,
+                   help="mesh size for --streams (default: all devices that "
+                        "divide the stream count)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -56,11 +68,6 @@ def main(argv=None):
     ar_params = load_checkpoint(args.ar_snapshot)["params"]
 
     flow_shape = tuple(args.flow_shape) + (2,) if args.flow_shape else FLOW_SHAPE
-    ds = CamVidWithFlowTest(
-        args.data_path, ref_gap=args.ref_gap,
-        ref_path=args.ref_path or args.data_path,
-        flow_path=args.flow_path, flow_shape=flow_shape,
-    )
     # default (lr_chunk=1): GOP-batched phase 1 + per-frame fuse, the fast
     # serving structure; an explicit --lr_chunk>1 selects the legacy chunked
     # per-frame path instead
@@ -71,6 +78,18 @@ def main(argv=None):
 
     os.makedirs(args.out_dir, exist_ok=True)
     g = args.ref_gap
+
+    if args.streams:
+        _run_streams(args, pipe, hr_params, ar_params, flow_shape)
+        return
+    if not (args.data_path and args.flow_path):
+        p.error("--data_path and --flow_path are required unless --streams is given")
+
+    ds = CamVidWithFlowTest(
+        args.data_path, ref_gap=args.ref_gap,
+        ref_path=args.ref_path or args.data_path,
+        flow_path=args.flow_path, flow_shape=flow_shape,
+    )
     names = [os.path.basename(p_)[:-4] for p_ in ds.data]
     timer = StepTimer(frames_per_step=g)
     n_gops = len(ds) // g
@@ -99,6 +118,91 @@ def main(argv=None):
         else f"single GOP incl. compile: {s['mean_ms'] / 1e3:.1f}s"
     )
     print(f"{n_gops * g} frames -> {args.out_dir}  ({rate})")
+
+
+def _run_streams(args, pipe, hr_params, ar_params, flow_shape):
+    """Multi-stream sharded serving: one sequence per stream, streams
+    sharded over a 'data' device mesh (each device runs the whole GOP
+    program on its local streams — the deployment scale-out axis,
+    ARPipeline.sharded_step). Host assembly uses one GOPFeeder per stream;
+    stream outputs go to out_dir/s<k>/."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from arseg_tpu.data.camvid import CamVidWithFlowTest
+    from arseg_tpu.gop.feeder import AsyncWriter, GOPFeeder
+    from arseg_tpu.parallel import data_mesh, replicate, shard_batch
+    from arseg_tpu.utils.profiling import StepTimer
+
+    g = args.ref_gap
+    specs = [s.split(":") for s in args.streams.split(",") if s]
+    datasets = []
+    for spec in specs:
+        if len(spec) not in (2, 3):
+            raise SystemExit(f"bad --streams entry {':'.join(spec)!r} "
+                             "(want data_dir:flow_dir[:ref_dir])")
+        data_dir, flow_dir = spec[0], spec[1]
+        ref_dir = spec[2] if len(spec) == 3 else data_dir
+        datasets.append(CamVidWithFlowTest(
+            data_dir, ref_gap=g, ref_path=ref_dir,
+            flow_path=flow_dir, flow_shape=flow_shape,
+        ))
+    n_gops = min(len(d) // g for d in datasets)
+    s_count = len(datasets)
+
+    mesh = data_mesh(args.num_devices, batch_size=s_count)
+    if s_count % mesh.devices.size:
+        raise SystemExit(
+            f"{s_count} streams not divisible by mesh size {mesh.devices.size}"
+        )
+    sstep = pipe.sharded_step(mesh)
+    hr_params = replicate(hr_params, mesh)
+    ar_params = replicate(ar_params, mesh)
+
+    writers, names = [], []
+    for k, ds in enumerate(datasets):
+        sub = os.path.join(args.out_dir, f"s{k}")
+        os.makedirs(sub, exist_ok=True)
+        writers.append(AsyncWriter(sub, colorize=args.colorize))
+        names.append([os.path.basename(p_)[:-4] for p_ in ds.data])
+
+    feeders = [
+        iter(GOPFeeder(ds, g, num_workers=max(1, args.io_workers // s_count + 1),
+                       depth=max(1, args.prefetch), stage=False))
+        for ds in datasets
+    ]
+    timer = StepTimer(frames_per_step=s_count * g)
+    for gi in range(n_gops):
+        items = [next(f) for f in feeders]
+        batch = shard_batch(
+            {
+                "kf": np.stack([it[1][0] for it in items]),
+                "fr": np.stack([it[2] for it in items]),
+                "fx": np.stack([it[3][0] for it in items]),
+                "fy": np.stack([it[3][1] for it in items]),
+            },
+            mesh,
+        )
+        with timer:
+            preds = sstep(hr_params, ar_params, batch["kf"], batch["fr"],
+                          batch["fx"], batch["fy"])
+            np.asarray(preds[0, 0, 0, 0])  # one-elt sync (axon-safe)
+        for k in range(s_count):
+            writers[k].put(preds[k], names[k][gi * g : (gi + 1) * g])
+    for w in writers:
+        w.close()
+    s = timer.summary()
+    rate = (
+        f"{s['frames_per_sec']:.1f} frames/sec"
+        if s["steps"] > 1
+        else f"single GOP incl. compile: {s['mean_ms'] / 1e3:.1f}s"
+    )
+    print(
+        f"{s_count} streams x {n_gops * g} frames -> {args.out_dir} "
+        f"({mesh.devices.size}-device mesh, {rate})"
+    )
 
 
 if __name__ == "__main__":

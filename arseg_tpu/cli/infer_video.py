@@ -80,10 +80,15 @@ def main(argv=None):
     g = args.ref_gap
 
     if args.streams:
+        if args.gop_batch > 1:
+            p.error("--streams and --gop_batch are mutually exclusive "
+                    "(streams batch across the mesh instead)")
         _run_streams(args, pipe, hr_params, ar_params, flow_shape)
         return
     if not (args.data_path and args.flow_path):
         p.error("--data_path and --flow_path are required unless --streams is given")
+    if args.gop_batch > 1 and args.lr_chunk > 1:
+        p.error("--gop_batch requires the default lr_chunk=1 (batched phase 1)")
 
     ds = CamVidWithFlowTest(
         args.data_path, ref_gap=args.ref_gap,
@@ -93,12 +98,17 @@ def main(argv=None):
     names = [os.path.basename(p_)[:-4] for p_ in ds.data]
     timer = StepTimer(frames_per_step=g)
     n_gops = len(ds) // g
+    if n_gops == 0:
+        raise SystemExit(f"sequence has {len(ds)} frames < --ref_gap {g}")
     # pipelined serving: worker threads decode PNGs + MV bins and stage
     # GOPs on device `--prefetch` ahead; a writer thread handles D2H + PNG
-    # encode — host IO overlaps device compute both ways (gop/feeder.py)
+    # encode — host IO overlaps device compute both ways (gop/feeder.py).
+    # With gop_batch>1 each staged item is a [B,...] stack (~gop_batch x the
+    # HBM), so staging depth is held at 1.
     feeder = GOPFeeder(
         ds, g, num_workers=args.io_workers,
-        depth=max(1, args.prefetch), stage=args.prefetch > 0,
+        depth=max(1, args.prefetch if args.gop_batch == 1 else 1),
+        stage=args.prefetch > 0,
         gop_batch=args.gop_batch,
     )
     writer = AsyncWriter(args.out_dir, colorize=args.colorize)
@@ -151,12 +161,20 @@ def _run_streams(args, pipe, hr_params, ar_params, flow_shape):
         ))
     n_gops = min(len(d) // g for d in datasets)
     s_count = len(datasets)
+    if n_gops == 0:
+        short = [sp[0] for sp, d in zip(specs, datasets) if len(d) < g]
+        raise SystemExit(f"stream(s) shorter than --ref_gap {g}: {short}")
 
-    mesh = data_mesh(args.num_devices, batch_size=s_count)
-    if s_count % mesh.devices.size:
-        raise SystemExit(
-            f"{s_count} streams not divisible by mesh size {mesh.devices.size}"
-        )
+    if args.num_devices is not None:
+        # honor the request exactly — data_mesh's divisibility clamp would
+        # silently serve on fewer devices than asked
+        if s_count % args.num_devices:
+            raise SystemExit(
+                f"{s_count} streams not divisible by --num_devices {args.num_devices}"
+            )
+        mesh = data_mesh(args.num_devices)
+    else:
+        mesh = data_mesh(batch_size=s_count)
     sstep = pipe.sharded_step(mesh)
     hr_params = replicate(hr_params, mesh)
     ar_params = replicate(ar_params, mesh)
@@ -168,8 +186,9 @@ def _run_streams(args, pipe, hr_params, ar_params, flow_shape):
         writers.append(AsyncWriter(sub, colorize=args.colorize))
         names.append([os.path.basename(p_)[:-4] for p_ in ds.data])
 
+    per_stream_workers = max(1, -(-args.io_workers // s_count))  # ceil, >= 1
     feeders = [
-        iter(GOPFeeder(ds, g, num_workers=max(1, args.io_workers // s_count + 1),
+        iter(GOPFeeder(ds, g, num_workers=per_stream_workers,
                        depth=max(1, args.prefetch), stage=False))
         for ds in datasets
     ]

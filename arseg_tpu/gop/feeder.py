@@ -74,7 +74,10 @@ class GOPFeeder:
                 if stop.is_set():
                     return
                 with lock:
-                    # bound look-ahead so decode memory stays O(depth+workers)
+                    # bound assembly look-ahead (in single-GOP units) so host
+                    # decode memory stays O(depth+workers) GOPs; note staged
+                    # DEVICE memory in __iter__ is depth x gop_batch GOPs —
+                    # callers using large gop_batch should keep depth at 1
                     while (
                         gi - self._emitted[0] > self.depth + self.num_workers
                         and not stop.is_set()
@@ -193,6 +196,8 @@ class AsyncWriter:
             item = self._q.get()
             if item is None:
                 return
+            if self._err is not None:
+                continue  # drain mode: keep consuming so put()/close() never block
             try:
                 preds, names = item
                 preds = np.asarray(preds).astype(np.uint8)
@@ -204,8 +209,10 @@ class AsyncWriter:
                         os.path.join(self.out_dir, name + ".png")
                     )
             except Exception as e:
+                # record and DRAIN rather than exit: with the bounded queue a
+                # producer blocked in put() would otherwise deadlock — the
+                # error surfaces on the next put() or at close()
                 self._err = e
-                return
 
     def put(self, preds, names):
         if self._err is not None:

@@ -138,7 +138,10 @@ class ARPipeline:
         batched over ALL B GOPs (the HR forward gains ~1.5x at batch 12 vs
         frame-at-a-time, tools_probe_r3h); warp + CReFF stay per-frame."""
         b, g1, h, w, _ = frames.shape
-        fx, fy = flows
+        if isinstance(flows, tuple):
+            fx, fy = flows
+        else:  # packed [B,G-1,Hf,Wf,2] compat — same split as _gop_step
+            fx, fy = flows[..., 0], flows[..., 1]
         hr_params, lr_params, keyframes, frames = self._cast(
             (hr_params, lr_params, keyframes, frames)
         )

@@ -120,3 +120,17 @@ def test_async_writer(tmp_path):
     for i in range(GAP):
         arr = np.asarray(Image.open(out / f"{i:05d}.png"))
         np.testing.assert_array_equal(arr, preds[i].astype(np.uint8))
+
+
+def test_async_writer_error_surfaces_no_deadlock(tmp_path):
+    """A failing writer (bad out_dir) must drain its bounded queue and
+    re-raise at put()/close() instead of deadlocking the producer."""
+    w = AsyncWriter(str(tmp_path / "missing" / "dir"), colorize=False)
+    preds = np.zeros((GAP, H, W), np.int32)
+    try:
+        for i in range(8):  # > queue depth; would hang before the drain fix
+            w.put(preds, [f"{j:05d}" for j in range(GAP)])
+        w.close()
+        raise AssertionError("expected the writer error to surface")
+    except (FileNotFoundError, OSError):
+        pass

@@ -70,6 +70,9 @@ def test_multi_gop_matches_single(setup):
     for b in range(B):
         one = np.asarray(pipe(hp, lp, kfs[b : b + 1], frs[b], (fxs[b], fys[b])))
         np.testing.assert_array_equal(multi[b], one)
+    # packed [B,G-1,Hf,Wf,2] flow compat splits to the same planes
+    packed = np.asarray(pipe(hp, lp, kfs, frs, jnp.stack([fxs, fys], axis=-1)))
+    np.testing.assert_array_equal(packed, multi)
 
 
 def test_sharded_streams_match_per_stream(setup):

@@ -23,7 +23,7 @@ from arseg_tpu.eval.engine import EvalConstRes, EvalAlterRes
 from arseg_tpu.nn.bisenet import BiSeNetV1
 from arseg_tpu.nn.pspnet import PSPNet
 from arseg_tpu.nn.pspnet_semseg import PSPNetSemseg
-from arseg_tpu.parallel import data_mesh, shard_batch, replicate
+from arseg_tpu.parallel import data_mesh, replicate
 from arseg_tpu.train.objectives import build_phase1_loss, build_phase2_loss
 from arseg_tpu.train.optim import (
     cosine_schedule,
@@ -159,10 +159,14 @@ class TrainLoop:
                 }
 
             it = (keep(b) for b in loader)
+            sharding = None
             if self.mesh.devices.size > 1:
-                it = (shard_batch(b, self.mesh) for b in it)
-                return it  # shard_batch already places per-device shards
-            return device_prefetch(it, size=2)
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                # stage ahead WITH the data sharding (a lazy shard_batch at
+                # the loop head gives up the 2-batch lookahead)
+                sharding = NamedSharding(self.mesh, PartitionSpec("data"))
+            return device_prefetch(it, size=2, sharding=sharding)
 
         for i, batch in enumerate(staged()):
             rng, sub = jax.random.split(rng)

@@ -64,8 +64,12 @@ def main(argv=None):
 
     hr_model = build_model(args.backend, fuse=False)
     ar_model = build_model(args.backend, fuse=True)
-    hr_params = load_checkpoint(args.hr_snapshot)["params"]
-    ar_params = load_checkpoint(args.ar_snapshot)["params"]
+    from arseg_tpu.utils.tree import cast_f32
+
+    # params RESIDENT in the serving dtype: cast ONCE at load (leaving them
+    # f32 would re-cast the whole tree on device every GOP step)
+    hr_params = cast_f32(load_checkpoint(args.hr_snapshot)["params"], args.dtype)
+    ar_params = cast_f32(load_checkpoint(args.ar_snapshot)["params"], args.dtype)
 
     flow_shape = tuple(args.flow_shape) + (2,) if args.flow_shape else FLOW_SHAPE
     # default (lr_chunk=1): GOP-batched phase 1 + per-frame fuse, the fast
@@ -73,7 +77,7 @@ def main(argv=None):
     # per-frame path instead
     pipe = ARPipeline(
         hr_model, ar_model, scale=args.scale, dtype=jnp.dtype(args.dtype),
-        lr_chunk=args.lr_chunk, p1_batched=args.lr_chunk <= 1,
+        lr_chunk=args.lr_chunk,  # lr_chunk>1 selects the legacy chunked path
     )
 
     os.makedirs(args.out_dir, exist_ok=True)

@@ -35,6 +35,7 @@ from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from arseg_tpu.eval.metrics import confusion_update, miou_from_hist, psum_hist
+from arseg_tpu.models import phase2_argmax_head
 from arseg_tpu.ops import resize_bilinear, warp_feature, scale_and_resize_flow
 
 
@@ -108,15 +109,11 @@ def _alter_hist(highres_model, model, scale, n_classes, ignore_label, dtype):
         h, w = image.shape[1], image.shape[2]
         x = resize_bilinear(image, (int(h * scale), int(w * scale)), align_corners=True)
         feat = _as_tuple(model.forward_phase1(params, x))[-1]
-        up = getattr(model, "phase2_argmax_upscale", 1)
-        if (
-            hasattr(model, "forward_phase2_argmax")
-            and (warped.shape[1] * up, warped.shape[2] * up)
-            == tuple(label.shape[1:3])
-        ):
-            # same fused phase-2 + argmax path the AR pipeline serves with
-            # (the logit upsample is the identity; log_softmax is monotonic)
-            pred = model.forward_phase2_argmax(params, feat, warped)
+        # same fused phase-2 + argmax path the AR pipeline serves with
+        # (shared dispatch predicate: models.phase2_argmax_head)
+        head = phase2_argmax_head(model, warped.shape[1:3], label.shape[1:3])
+        if head is not None:
+            pred = head(params, feat, warped)
         else:
             out, _ = model.forward_phase2(params, feat, warped)
             logits = resize_bilinear(out, label.shape[1:3], align_corners=True)

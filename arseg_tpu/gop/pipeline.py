@@ -51,7 +51,7 @@ class ARPipeline:
     """
 
     def __init__(self, hr_model, lr_model, scale=0.5, dtype=jnp.float32, lr_chunk=1,
-                 p1_batched=True):
+                 p1_batched=None):
         self.hr_model = hr_model
         self.lr_model = lr_model
         self.scale = scale
@@ -82,18 +82,24 @@ class ARPipeline:
         # lax.map — batching THOSE is the known Mosaic/XLA composition crash
         # (tools_probe_r3b `batched-p1`/`batched-fuse`), and per-frame CReFF
         # also bounds the halo-tiled k/v memory exactly like lr_chunk=1 did.
+        # Default: batched phase 1 unless the caller explicitly selects the
+        # legacy chunked path (lr_chunk>1) — the two are mutually exclusive
+        # program structures, so an explicit conflicting pair is an error
+        # rather than one silently winning.
+        if p1_batched is None:
+            p1_batched = lr_chunk <= 1
+        if p1_batched and lr_chunk > 1:
+            raise ValueError(
+                f"p1_batched=True is incompatible with lr_chunk={lr_chunk} "
+                "(batched phase 1 replaces the chunked per-frame path)"
+            )
         self.p1_batched = p1_batched
         self._step = jax.jit(self._gop_step)
 
     def _cast(self, tree):
-        if self.dtype == jnp.float32:
-            return tree
-        return jax.tree_util.tree_map(
-            lambda x: x.astype(self.dtype)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32
-            else x,
-            tree,
-        )
+        from arseg_tpu.utils.tree import cast_f32
+
+        return cast_f32(tree, self.dtype)
 
     def _phase2_logits(self, lr_params, feat, warped):
         # log_softmax is monotonic: skip it ahead of argmax when supported
@@ -110,12 +116,12 @@ class ARPipeline:
         h, w = out_hw
         ref_rep = jnp.broadcast_to(ref_feat, (n,) + ref_feat.shape[1:])
         warped = warp_feature(ref_rep, flow_planes)
-        up = getattr(self.lr_model, "phase2_argmax_upscale", 1)
-        if hasattr(self.lr_model, "forward_phase2_argmax") and (
-            warped.shape[1] * up,
-            warped.shape[2] * up,
-        ) == (h, w):
-            return self.lr_model.forward_phase2_argmax(lr_params, feat, warped)
+        # shared dispatch predicate with the eval engine (models.phase2_argmax_head)
+        from arseg_tpu.models import phase2_argmax_head
+
+        head = phase2_argmax_head(self.lr_model, warped.shape[1:3], (h, w))
+        if head is not None:
+            return head(lr_params, feat, warped)
         out, _ = self._phase2_logits(lr_params, feat, warped)
         out = resize_bilinear(out, (h, w), align_corners=True)
         return jnp.argmax(out, axis=-1)

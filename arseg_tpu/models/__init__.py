@@ -1,3 +1,3 @@
-from arseg_tpu.models.registry import build_model, MODELS
+from arseg_tpu.models.registry import build_model, phase2_argmax_head, MODELS
 
-__all__ = ["build_model", "MODELS"]
+__all__ = ["build_model", "phase2_argmax_head", "MODELS"]

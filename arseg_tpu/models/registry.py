@@ -72,3 +72,23 @@ def build_model(backend: str, fuse: bool = False, **kw):
     if backend not in MODELS:
         raise KeyError(f"unknown backend {backend}; options: {sorted(MODELS)}")
     return MODELS[backend](fuse, **kw)
+
+
+def phase2_argmax_head(model, warped_hw, out_hw):
+    """The ONE dispatch predicate for the fused phase-2+argmax fast path,
+    shared by the eval engine and the serving pipeline (so eval always
+    evaluates exactly the head serving serves with).
+
+    Returns model.forward_phase2_argmax when the model defines it AND its
+    output resolution (warped feature x phase2_argmax_upscale — 1 for
+    PSPNet's full-res fusion, 8 for BiSeNet's 1/8-res fusion) equals the
+    requested out_hw, making the post-logit upsample the identity (and the
+    elided log_softmax monotone). Otherwise None — callers take the
+    forward_phase2 -> resize -> argmax path."""
+    up = getattr(model, "phase2_argmax_upscale", 1)
+    if hasattr(model, "forward_phase2_argmax") and (
+        warped_hw[0] * up,
+        warped_hw[1] * up,
+    ) == tuple(out_hw):
+        return model.forward_phase2_argmax
+    return None

@@ -89,12 +89,9 @@ def make_train_step(loss_fn, optimizer, mesh=None, bn_mode="sync",
                          "(shard over the mesh instead)")
 
     def _cast_params(tree):
-        return jax.tree_util.tree_map(
-            lambda x: x.astype(compute_dtype)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32
-            else x,
-            tree,
-        )
+        from arseg_tpu.utils.tree import cast_f32
+
+        return cast_f32(tree, compute_dtype)
 
     def _cast_batch(b):
         # images/features to compute dtype; labels stay int, flow stays f32

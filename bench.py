@@ -105,11 +105,10 @@ def bench_config(name):
     # serving keeps params RESIDENT in bf16 — pre-cast once outside the
     # timed loop for both sides (previously the AR side re-cast its param
     # tree on device every GOP while the HR baseline got pre-cast params)
-    cast_tree = lambda t: jax.tree_util.tree_map(
-        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, t
-    )
-    hr_params_t = cast_tree(hr_params)
-    lr_params_t = cast_tree(lr_params)
+    from arseg_tpu.utils.tree import cast_f32
+
+    hr_params_t = cast_f32(hr_params, dtype)
+    lr_params_t = cast_f32(lr_params, dtype)
 
     pipe = ARPipeline(hr_model, lr_model, scale=SCALE, dtype=dtype, lr_chunk=LR_CHUNK)
     ar_time = _time(pipe, hr_params_t, lr_params_t, keyframe, frames, flows)
@@ -146,11 +145,10 @@ def bench_batch_matched():
     hr_model = build_model("camvid-bise18", fuse=False)
     lr_model = build_model("camvid-bise18", fuse=True)
     dtype = jnp.dtype(DTYPE)
-    cast_tree = lambda t: jax.tree_util.tree_map(
-        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, t
-    )
-    hr_params = cast_tree(hr_model.init(jax.random.PRNGKey(0)))
-    lr_params = cast_tree(lr_model.init(jax.random.PRNGKey(1)))
+    from arseg_tpu.utils.tree import cast_f32
+
+    hr_params = cast_f32(hr_model.init(jax.random.PRNGKey(0)), dtype)
+    lr_params = cast_f32(lr_model.init(jax.random.PRNGKey(1)), dtype)
     rng = np.random.RandomState(0)
     out = {}
 

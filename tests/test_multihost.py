@@ -37,7 +37,6 @@ def test_two_process_distributed_train_and_eval(tmp_path):
     env.pop("JAX_PLATFORMS", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-    env["TPU_SKIP"] = "1"
 
     procs = []
     for pid in range(2):

@@ -47,7 +47,11 @@ def _pick_th(h, th):
     untouched (camvid-psp18 720 rows: 720%16==0, stays 16).
 
     ARSEG_CREFF_TH overrides (when it divides h) — a tuning knob for
-    per-shape sweeps; production defaults are the measured winners."""
+    per-shape sweeps; production defaults are the measured winners.
+    Caveats: read at TRACE time, so it only affects shapes that have not
+    compiled yet in this process (set it before the first call; jit caches
+    keep the old th afterwards), and creff_phase2_upsample_argmax consults
+    _pick_th only when the caller's th does NOT divide h."""
     import os
 
     ov = int(os.environ.get("ARSEG_CREFF_TH", "0"))

@@ -1,3 +1,4 @@
 from arseg_tpu.gop.pipeline import ARPipeline
+from arseg_tpu.gop.feeder import AsyncWriter, GOPFeeder
 
-__all__ = ["ARPipeline"]
+__all__ = ["ARPipeline", "GOPFeeder", "AsyncWriter"]

@@ -75,6 +75,34 @@ def test_multi_gop_matches_single(setup):
     np.testing.assert_array_equal(packed, multi)
 
 
+def test_batched_fused_head_matches_per_frame(setup):
+    """forward_phase2_argmax batched over n frames must equal n per-frame
+    calls — the correctness precondition for ever flipping the multi-GOP
+    fuse stage from lax.map to one batched call (tools_probe_r3m variant b;
+    r3g measured batch-fuse safe to compile, only the batched WARP crashes)."""
+    hr, lr, hp, lp, kf, fr, fl = setup
+    from arseg_tpu.models import phase2_argmax_head
+
+    n = 3
+    # derive feat/warped shapes by running phase 1 once
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(n, H // 2, W // 2, 3).astype(np.float32))
+    feat = lr.forward_phase1(lp, x)
+    feat = feat[-1] if isinstance(feat, tuple) else feat
+    warped = jnp.asarray(rng.randn(*feat.shape).astype(np.float32))
+    head = phase2_argmax_head(lr, feat.shape[1:3],
+                              (feat.shape[1] * getattr(lr, "phase2_argmax_upscale", 1),
+                               feat.shape[2] * getattr(lr, "phase2_argmax_upscale", 1)))
+    if head is None:
+        import pytest
+
+        pytest.skip("model has no fused argmax head at this geometry")
+    batched = np.asarray(head(lp, feat, warped))
+    for i in range(n):
+        one = np.asarray(head(lp, feat[i : i + 1], warped[i : i + 1]))[0]
+        np.testing.assert_array_equal(batched[i], one)
+
+
 def test_sharded_streams_match_per_stream(setup):
     """Multi-stream serving: 4 streams sharded over a 4-device mesh produce
     exactly the per-stream pipeline outputs (streams are independent; the

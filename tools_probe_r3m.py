@@ -5,6 +5,9 @@
      (batched fuse was safe and -0.61 ms at B=1 n=11, r3g; the only
      crasher is the batched warp, r3b)
   c) as (b) but CReFF+head batched in 4 chunks of 22 (bound VMEM/HBM)
+  d) warp batched in chunks of 4 (r3b says n=11 batched warp crashes the
+     worker; probe whether small batches are safe), fuse as (b). Runs LAST
+     so a worker crash cannot block the b/c measurements.
 """
 import sys, time
 
@@ -129,4 +132,33 @@ if rb:
     ref_out = np.asarray(pipe(hrp, lrp, kf, fr, (fx, fy)))
     b_out = np.asarray(vb(hrp, lrp, kf, fr, fx, fy))
     print("b agrees:", bool((ref_out == b_out).all()), flush=True)
+
+
+def variant_d(hr_params, lr_params, keyframes, frames, fxp, fyp):
+    b, g1, h, w, _ = frames.shape
+    keyframes = keyframes.astype(DT)
+    frames = frames.astype(DT)
+    feat, fx2, fy2, ref_rep, key_preds = prep(
+        hr_params, lr_params, keyframes, frames, fxp, fyp)
+    n = feat.shape[0]
+    chunk = 4
+    warped = jax.lax.map(
+        lambda a: warp_feature(a[0], (a[1], a[2])),
+        (ref_rep.reshape(n // chunk, chunk, *ref_rep.shape[1:]),
+         fx2.reshape(n // chunk, chunk, *fx2.shape[1:]),
+         fy2.reshape(n // chunk, chunk, *fy2.shape[1:])))
+    warped = warped.reshape(n, *warped.shape[2:])
+    preds = lr_model.forward_phase2_argmax(lr_params, feat, warped)
+    preds = preds.reshape(b, g1, h, w)
+    return jnp.concatenate([key_preds, preds], axis=1).astype(jnp.int32)
+
+
+# LAST: batched-warp probe — r3b crashed the worker at n=11; chunk=4 may
+# be inside the safe envelope. A crash here loses nothing above.
+vd = jax.jit(variant_d)
+rd = bench("d:warp-chunk4", vd, hrp, lrp, kf, fr, fx, fy, fpc=B * G)
+if rd:
+    d_out = np.asarray(vd(hrp, lrp, kf, fr, fx, fy))
+    ref_out = np.asarray(pipe(hrp, lrp, kf, fr, (fx, fy)))
+    print("d agrees:", bool((ref_out == d_out).all()), flush=True)
 print("DONE", flush=True)

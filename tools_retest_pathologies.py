@@ -1,0 +1,96 @@
+"""Durable retest recipes for the two known v5e/Mosaic-0.9 compiler
+pathologies (PERF.md "lr_chunk>1 / batch-8+"; symptoms documented at
+gop/pipeline.py:69-75). Run on each toolchain bump:
+
+  1. lr_chunk=2 on camvid-bise18, the FULL composed GOP program — known to
+     crash the TPU worker / hang the compile, while every stage passes in
+     isolation.
+  2. phase-1 training step at batch 8, camvid-psp18 720x960 f32 — known to
+     fail in the remote compiler ("Batch 8+ fails", PERF.md); production
+     uses --accum_steps microbatch scans instead.
+
+Each repro runs in its own subprocess with a hard timeout so a worker
+crash / compile hang cannot take the parent down, and serially — the axon
+tunnel is single-client. Exit prints PASS (pathology gone: re-measure
+chunked serving / big-batch training) or STILL-BROKEN per case.
+
+Usage: python tools_retest_pathologies.py [timeout_s=900]
+"""
+import subprocess
+import sys
+import time
+
+TIMEOUT = int(sys.argv[1]) if len(sys.argv) > 1 else 900
+
+CASE_LR_CHUNK = """
+import sys; sys.path.insert(0, "/root/repo")
+import numpy as np, jax, jax.numpy as jnp
+from arseg_tpu.utils.compile_cache import enable_compile_cache
+from arseg_tpu.models import build_model
+from arseg_tpu.gop import ARPipeline
+enable_compile_cache()
+H, W, G = 720, 960, 12
+hr = build_model("camvid-bise18", fuse=False)
+lr = build_model("camvid-bise18", fuse=True)
+hrp = hr.init(jax.random.PRNGKey(0)); lrp = lr.init(jax.random.PRNGKey(1))
+pipe = ARPipeline(hr, lr, scale=0.5, dtype=jnp.bfloat16, lr_chunk=2)
+rng = np.random.RandomState(0)
+kf = jnp.asarray(rng.randn(1, H, W, 3).astype(np.float32))
+fr = jnp.asarray(rng.randn(G - 1, H, W, 3).astype(np.float32))
+fx = jnp.asarray(rng.uniform(-16, 16, (G - 1, H, W)).astype(np.float32))
+fy = jnp.asarray(rng.uniform(-16, 16, (G - 1, H, W)).astype(np.float32))
+out = pipe(hrp, lrp, kf, fr, (fx, fy))
+print("OK", np.asarray(out[(0, 0, 0)]))
+"""
+
+CASE_BATCH8_TRAIN = """
+import sys; sys.path.insert(0, "/root/repo")
+import numpy as np, jax
+from arseg_tpu.utils.compile_cache import enable_compile_cache
+from arseg_tpu.models import build_model
+from arseg_tpu.train.objectives import build_phase1_loss
+from arseg_tpu.train.optim import make_optimizer, cosine_schedule
+from arseg_tpu.train.step import make_train_step
+enable_compile_cache()
+B, H, W = 8, 720, 960
+model = build_model("camvid-psp18", fuse=False)
+params = model.init(jax.random.PRNGKey(0))
+loss_fn = build_phase1_loss(model, "pspnet", "camvid", (W, H), scale=1.0)
+opt = make_optimizer("adam", cosine_schedule(1e-3, 100))
+step = make_train_step(loss_fn, opt)
+rng = np.random.RandomState(0)
+batch = {
+    "image": rng.randn(B, H, W, 3).astype(np.float32),
+    "label": rng.randint(0, 12, (B, H, W)).astype(np.int32),
+    "existence": np.ones((B, 12), np.float32),
+}
+import jax.numpy as jnp
+batch = {k: jnp.asarray(v) for k, v in batch.items()}
+out = step(params, opt.init(params), None, batch, jax.random.PRNGKey(1))
+print("OK loss", float(out[2]["loss"]))
+"""
+
+
+def run(tag, code):
+    t0 = time.perf_counter()
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=TIMEOUT)
+    except subprocess.TimeoutExpired:
+        print(f"{tag}: STILL-BROKEN (hang > {TIMEOUT}s)", flush=True)
+        return
+    wall = time.perf_counter() - t0
+    if r.returncode == 0 and "OK" in r.stdout:
+        print(f"{tag}: PASS in {wall:.0f}s — pathology gone, re-measure "
+              f"({r.stdout.strip().splitlines()[-1]})", flush=True)
+    else:
+        tail = (r.stderr or r.stdout).strip().splitlines()[-3:]
+        print(f"{tag}: STILL-BROKEN rc={r.returncode} in {wall:.0f}s", flush=True)
+        for line in tail:
+            print(f"    {line}", flush=True)
+
+
+if __name__ == "__main__":
+    run("lr_chunk2-bise18", CASE_LR_CHUNK)
+    run("batch8-phase1-psp18", CASE_BATCH8_TRAIN)
+    print("DONE", flush=True)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from arseg_tpu.nn import functional as Fn
 from arseg_tpu.nn import init as Init
 from arseg_tpu.ops import resize_bilinear, local_similar, local_weighting, creff_attention
-from arseg_tpu.ops.local_attention import creff_local_module
+from arseg_tpu.ops.local_attention import creff_local_module, creff_local_module_resize
 from arseg_tpu.ops.resize import _nearest_index
 
 
@@ -85,6 +85,11 @@ def _local_qkv(p, hr, lr_up, c, groups, with_value):
 
 # dispatch switch for the fused MyAttention kernel (A/B benchmarking)
 USE_FUSED_MODULE = True
+# route the lr->hr upsample through creff_local_module_resize, which on TPU
+# emits lr_up directly in the kernel's padded geometry (one HBM write instead
+# of resize-write + pad round trip). OFF until measured on hardware — the
+# jaxpr change invalidates the warmed compile cache of the GOP program.
+USE_FUSED_RESIZE = False
 
 
 def _make_local(kk, with_value=True, groups=None, residual=True):
@@ -93,16 +98,17 @@ def _make_local(kk, with_value=True, groups=None, residual=True):
 
     def apply(p, hr, lr):
         c = hr.shape[-1]
-        lr_up = resize_bilinear(lr, hr.shape[1:3], align_corners=True)
         if with_value and residual and groups is None and USE_FUSED_MODULE:
             # production MyAttention shape: on TPU one kernel fuses the
             # three 3x3 depthwise convs + windowed attention + residual,
             # saving three depthwise-conv HBM round trips (~15 ms/frame at
             # 720x960x64); differentiable via the composed-ops VJP
-            return creff_local_module(
-                lr_up, hr, p["lr_query_conv"], p["hr_key_conv"],
-                p["hr_value_conv"], kk, kk,
-            )
+            qkv = (p["lr_query_conv"], p["hr_key_conv"], p["hr_value_conv"])
+            if USE_FUSED_RESIZE:
+                return creff_local_module_resize(lr, hr, *qkv, kk, kk)
+            lr_up = resize_bilinear(lr, hr.shape[1:3], align_corners=True)
+            return creff_local_module(lr_up, hr, *qkv, kk, kk)
+        lr_up = resize_bilinear(lr, hr.shape[1:3], align_corners=True)
         q, k, v = _local_qkv(p, hr, lr_up, c, groups, with_value)
         attn = creff_attention(q, k, v, kk, kk)
         return lr_up + attn if residual else attn

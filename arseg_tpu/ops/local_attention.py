@@ -135,3 +135,55 @@ def _module_bwd(kh, kw, res, g):
 
 
 creff_local_module.defvjp(_module_fwd, _module_bwd)
+
+
+def _module_resize_composed(lr, hr, wq, wk, wv, kh, kw):
+    from arseg_tpu.ops.resize import resize_bilinear
+
+    lr_up = resize_bilinear(lr, hr.shape[1:3], align_corners=True)
+    return _module_composed(lr_up, hr, wq, wk, wv, kh, kw)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def creff_local_module_resize(lr, hr, wq, wk, wv, kh: int, kw: int):
+    """MyAttention forward taking lr at its NATIVE (pre-upsample) resolution:
+    bilinear-resize-to-hr + module in one go (reference `model/attention.py:
+    157-213` upsamples lr first, then runs the module).
+
+    On TPU with lane-aligned channels the resize runs as zero-padded
+    constant-matrix matmuls that emit lr_up directly in the fused kernel's
+    padded input geometry (resize_bilinear_padded + qkv_fused_lr_pads) — the
+    resized map is written to HBM once instead of resize-write, pad-read,
+    pad-write. Elsewhere (and for backward) it is the composed resize +
+    module. bf16 interiors may differ from the composed form by 1 ulp (see
+    resize_bilinear_padded)."""
+    from arseg_tpu.ops.resize import resize_bilinear, resize_bilinear_padded
+
+    h, w, c = hr.shape[1], hr.shape[2], hr.shape[3]
+    if _use_pallas() and c % 128 == 0 and lr.shape[1:3] != (h, w):
+        from arseg_tpu.ops.pallas_creff import creff_qkv_fused, qkv_fused_lr_pads
+
+        pads = qkv_fused_lr_pads(h, w, kh, kw)
+        lrp = resize_bilinear_padded(lr, (h, w), True, pads)
+        return creff_qkv_fused(lrp, hr, wq, wk, wv, kh, kw, lr_prepadded=True)
+    lr_up = resize_bilinear(lr, (h, w), align_corners=True)
+    return creff_local_module(lr_up, hr, wq, wk, wv, kh, kw)
+
+
+def _module_resize_fwd(lr, hr, wq, wk, wv, kh, kw):
+    return (
+        creff_local_module_resize(lr, hr, wq, wk, wv, kh, kw),
+        (lr, hr, wq, wk, wv),
+    )
+
+
+def _module_resize_bwd(kh, kw, res, g):
+    lr, hr, wq, wk, wv = res
+    _, vjp = jax.vjp(
+        lambda a, b, c_, d, e: _module_resize_composed(a, b, c_, d, e, kh, kw),
+        lr, hr, wq, wk, wv,
+    )
+    return vjp(g)
+
+
+creff_local_module_resize.defvjp(_module_resize_fwd, _module_resize_bwd)

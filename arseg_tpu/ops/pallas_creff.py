@@ -335,10 +335,31 @@ def _qkv_kernel(
     out_ref[0] = fused[..., :c].astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+def _qkv_geometry(h, w, c, kh, kw, th, tw):
+    """Tile/pad geometry shared by creff_qkv_fused and its pad helpers."""
+    tw = min(tw, _cdiv(w, 128) * 128)
+    th = _pick_th(h, th)
+    hp = _cdiv(h, th) * th
+    wp = _cdiv(w, tw) * tw
+    ph, pw = kh // 2, kw // 2
+    cp = _cdiv(c, 128) * 128
+    twd = _cdiv(tw + kw + 1, 8) * 8  # window cols: attn+conv halo, aligned
+    return th, tw, twd, hp, wp, hp // th, wp // tw, ph, pw, cp
+
+
+def qkv_fused_lr_pads(h, w, kh: int, kw: int, th: int = 16, tw: int = 120):
+    """Spatial pads ((top, bottom), (left, right)) of creff_qkv_fused's lr
+    input. Callers producing lr_up on the fly (resize_bilinear_padded) can
+    emit it pre-padded and pass lr_prepadded=True, skipping the wrapper's
+    pad round trip. Channels must already be lane-aligned (c % 128 == 0)."""
+    th, tw, twd, hp, wp, *_ = _qkv_geometry(h, w, 128, kh, kw, th, tw)
+    return (1, hp - h + 1), (1, wp - w + (twd - tw - 1))
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10))
 def creff_qkv_fused(
     lr_up, ref, wq, wk, wv, kh: int, kw: int, th: int = 16, tw: int = 120,
-    interpret: bool = False,
+    interpret: bool = False, lr_prepadded: bool = False,
 ):
     """Fused MyAttention forward: lr_up + weighting(softmax(similar(
     dwconv_q(lr_up), dwconv_k(ref))), dwconv_v(ref)). NHWC.
@@ -346,16 +367,15 @@ def creff_qkv_fused(
     wq/wk/wv: dicts {'weight': [3,3,1,C], 'bias': [C]} (torch depthwise
     layout from the checkpoint converter). TPU-only (manual DMA); callers
     fall back to the composed ops elsewhere.
+
+    lr_prepadded=True: lr_up already carries the qkv_fused_lr_pads zero ring
+    (e.g. straight out of resize_bilinear_padded) and c % 128 == 0 — the
+    wrapper skips its lr pad pass.
     """
-    n, h, w, c = lr_up.shape
-    tw = min(tw, _cdiv(w, 128) * 128)
-    th = _pick_th(h, th)
-    hp = _cdiv(h, th) * th
-    wp = _cdiv(w, tw) * tw
-    nh, nw = hp // th, wp // tw
-    ph, pw = kh // 2, kw // 2
-    cp = _cdiv(c, 128) * 128
-    twd = _cdiv(tw + kw + 1, 8) * 8  # window cols: attn+conv halo, aligned
+    n, h, w, c = ref.shape if lr_prepadded else lr_up.shape
+    th, tw, twd, hp, wp, nh, nw, ph, pw, cp = _qkv_geometry(
+        h, w, c, kh, kw, th, tw
+    )
 
     # packed weights [2, 3, 3, C]: slot 0 = taps, slot [1,0,0] = bias
     def pack2(wd, dtype):
@@ -370,9 +390,18 @@ def creff_qkv_fused(
     wv_p = pack2(wv, lr_up.dtype)
 
     # lr window needs 1 halo (dwconv q + residual), ref needs ph+1
-    lrp = jnp.pad(
-        lr_up, ((0, 0), (1, hp - h + 1), (1, wp - w + (twd - tw - 1)), (0, cp - c))
-    )
+    if lr_prepadded:
+        expect = (n, hp + 2, wp + (twd - tw), cp)
+        if c != cp or lr_up.shape != expect:
+            raise ValueError(
+                f"lr_prepadded lr_up must be {expect} (c % 128 == 0), got "
+                f"{lr_up.shape}; use qkv_fused_lr_pads(h={h}, w={w}, ...)"
+            )
+        lrp = lr_up
+    else:
+        lrp = jnp.pad(
+            lr_up, ((0, 0), (1, hp - h + 1), (1, wp - w + (twd - tw - 1)), (0, cp - c))
+        )
     refp = jnp.pad(
         ref,
         ((0, 0), (ph + 1, hp - h + ph + 1), (pw + 1, wp - w + (twd - tw - pw - 1)), (0, cp - c)),

@@ -137,6 +137,38 @@ def resize_bilinear(x, out_hw, align_corners: bool):
     return jnp.einsum("qw,...hwc->...hqc", mw.astype(x.dtype), y)
 
 
+def resize_bilinear_padded(x, out_hw, align_corners: bool, pads):
+    """Fused bilinear resize + zero-pad of [..., H, W, C]: emits
+    [..., pt+oh+pb, pl+ow+pr, C] with an exact-0.0 pad ring.
+
+    Both axes run as constant interpolation-matrix matmuls whose pad rows
+    are all-zero, so the resized map is written to HBM exactly once, already
+    in the consumer's padded geometry. Used by the Pallas CReFF fast path
+    (`ops/pallas_creff.creff_qkv_fused(lr_prepadded=True)`) to skip the
+    separate lr_up round trip + pad pass of the composed form.
+
+    Interior math: each output is exactly (1-w)*x0 + w*x1 in f32
+    (precision=HIGHEST). In bf16 the MXU rounds the f32 accumulator once,
+    while `resize_bilinear`'s H-pass lerp rounds per term — interiors may
+    differ from resize_bilinear+pad by 1 ulp there (argmax-stable; parity
+    tests compare at tolerance).
+
+    pads: ((top, bottom), (left, right)).
+    """
+    (pt, pb), (pl, pr) = pads
+    h, w = x.shape[-3], x.shape[-2]
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    mh = np.zeros((pt + oh + pb, h), np.float32)
+    mh[pt : pt + oh] = _linear_matrix(h, oh, align_corners)
+    mw = np.zeros((pl + ow + pr, w), np.float32)
+    mw[pl : pl + ow] = _linear_matrix(w, ow, align_corners)
+    if x.dtype == jnp.float32:
+        y = jnp.einsum("ph,...hwc->...pwc", jnp.asarray(mh), x, precision="highest")
+        return jnp.einsum("qw,...pwc->...pqc", jnp.asarray(mw), y, precision="highest")
+    y = jnp.einsum("ph,...hwc->...pwc", jnp.asarray(mh).astype(x.dtype), x)
+    return jnp.einsum("qw,...pwc->...pqc", jnp.asarray(mw).astype(x.dtype), y)
+
+
 def resize_nearest(x, out_hw):
     """Nearest resize of [..., H, W, C], matching torch mode='nearest'."""
     h, w = x.shape[-3], x.shape[-2]

@@ -217,3 +217,93 @@ def test_creff_phase2_upsample_argmax_matches_composed():
     assert got.shape == (1, h * 8, w * 8)
     agree = np.mean(np.asarray(got) == want)
     assert agree > 0.999, agree
+
+
+def test_creff_qkv_fused_prepadded_matches_padded():
+    """lr_prepadded=True with resize_bilinear_padded-produced input must
+    equal the wrapper-padded path (interpret mode, c lane-aligned)."""
+    from arseg_tpu.ops.pallas_creff import creff_qkv_fused, qkv_fused_lr_pads
+    from arseg_tpu.ops.resize import resize_bilinear, resize_bilinear_padded
+
+    rng = np.random.RandomState(31)
+    c, h, w = 128, 18, 24
+    lr = jnp.asarray(rng.randn(1, 9, 12, c).astype(np.float32))
+    ref = jnp.asarray(rng.randn(1, h, w, c).astype(np.float32))
+    convs = [
+        {
+            "weight": jnp.asarray(rng.randn(3, 3, 1, c).astype(np.float32)),
+            "bias": jnp.asarray(rng.randn(c).astype(np.float32)),
+        }
+        for _ in range(3)
+    ]
+    pads = qkv_fused_lr_pads(h, w, 7, 7)
+    lrp = resize_bilinear_padded(lr, (h, w), True, pads)
+    # feed the wrapper path the SAME interior bits (the resize itself may
+    # differ from resize_bilinear by 1 f32 ulp — covered by test_resize) so
+    # this test isolates the prepadded plumbing
+    lr_up = lrp[:, pads[0][0] : pads[0][0] + h, pads[1][0] : pads[1][0] + w, :]
+    want = creff_qkv_fused(lr_up, ref, *convs, 7, 7, interpret=True)
+    got = creff_qkv_fused(
+        lrp, ref, *convs, 7, 7, interpret=True, lr_prepadded=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+    with pytest.raises(ValueError, match="lr_prepadded"):
+        creff_qkv_fused(lr_up, ref, *convs, 7, 7, interpret=True, lr_prepadded=True)
+
+
+def test_creff_local_module_resize_forward_and_grads():
+    """creff_local_module_resize == resize + module, and its custom VJP
+    matches autodiff through the composed ops."""
+    from arseg_tpu.ops.local_attention import (
+        creff_local_module_resize,
+        _module_resize_composed,
+    )
+    from arseg_tpu.ops.resize import resize_bilinear
+    from arseg_tpu.ops.local_attention import creff_local_module
+
+    rng = np.random.RandomState(32)
+    c = 6
+    lr = jnp.asarray(rng.randn(1, 7, 9, c).astype(np.float32))
+    hr = jnp.asarray(rng.randn(1, 14, 18, c).astype(np.float32))
+    convs = [
+        {
+            "weight": jnp.asarray(rng.randn(3, 3, 1, c).astype(np.float32)),
+            "bias": jnp.asarray(rng.randn(c).astype(np.float32)),
+        }
+        for _ in range(3)
+    ]
+    lr_up = resize_bilinear(lr, (14, 18), align_corners=True)
+    want = creff_local_module(lr_up, hr, *convs, 7, 7)
+    got = creff_local_module_resize(lr, hr, *convs, 7, 7)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
+
+    def loss_fused(lr_, hr_, w0, w1, w2):
+        return jnp.sum(creff_local_module_resize(lr_, hr_, w0, w1, w2, 7, 7) ** 2)
+
+    def loss_composed(lr_, hr_, w0, w1, w2):
+        return jnp.sum(_module_resize_composed(lr_, hr_, w0, w1, w2, 7, 7) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(lr, hr, *convs)
+    g_comp = jax.grad(loss_composed, argnums=(0, 1, 2))(lr, hr, *convs)
+    for a, b in zip(jax.tree_util.tree_leaves(g_fused), jax.tree_util.tree_leaves(g_comp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_use_fused_resize_flag_cpu_equivalence(monkeypatch):
+    """With USE_FUSED_RESIZE on, the local attention factory output is
+    unchanged (CPU routes both flags through the composed ops — this guards
+    the plumbing, the TPU numerics are guarded by the prepadded test)."""
+    import arseg_tpu.nn.attention as attention
+
+    init, apply = attention.get_fusion("local", atten_k=7)
+    rng = np.random.RandomState(33)
+    c = 6
+    from arseg_tpu.nn.init import RngStream
+    p = init(RngStream(jax.random.PRNGKey(0)), c)
+    hr = jnp.asarray(rng.randn(1, 14, 18, c).astype(np.float32))
+    lr = jnp.asarray(rng.randn(1, 7, 9, c).astype(np.float32))
+    base = apply(p, hr, lr)
+    monkeypatch.setattr(attention, "USE_FUSED_RESIZE", True)
+    flipped = apply(p, hr, lr)
+    np.testing.assert_allclose(np.asarray(flipped), np.asarray(base), rtol=1e-6, atol=1e-6)

@@ -78,3 +78,45 @@ def test_pixel_shuffle(r):
     ref = F.pixel_shuffle(_nchw(x), r)
     got = pixel_shuffle(jnp.asarray(x), r)
     np.testing.assert_array_equal(np.asarray(got), _nhwc(ref))
+
+
+def test_resize_bilinear_padded_matches_resize_plus_pad():
+    """resize_bilinear_padded == resize_bilinear + jnp.pad (f32 exact: both
+    forms compute (1-w)*x0 + w*x1 per axis; zero matrix entries contribute
+    exact 0.0), and the pad ring is exact zero."""
+    from arseg_tpu.ops.resize import resize_bilinear, resize_bilinear_padded
+
+    rng = np.random.RandomState(21)
+    for (h, w, oh, ow), pads in [
+        ((45, 60, 90, 120), ((1, 3), (1, 7))),
+        ((12, 17, 30, 40), ((4, 6), (4, 4))),
+        ((9, 9, 9, 18), ((0, 2), (1, 0))),  # H identity axis
+    ]:
+        x = jnp.asarray(rng.randn(2, h, w, 5).astype(np.float32))
+        want = jnp.pad(
+            resize_bilinear(x, (oh, ow), align_corners=True),
+            ((0, 0), pads[0], pads[1], (0, 0)),
+        )
+        got = resize_bilinear_padded(x, (oh, ow), True, pads)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
+        (pt, pb), (pl, pr) = pads
+        ring = np.asarray(got)
+        assert (ring[:, :pt] == 0).all() and (pb == 0 or (ring[:, -pb:] == 0).all())
+        assert (ring[:, :, :pl] == 0).all() and (pr == 0 or (ring[:, :, -pr:] == 0).all())
+
+
+def test_resize_bilinear_padded_bf16_close():
+    """bf16: MXU-accumulated interiors may differ from the lerp H-pass by
+    1 ulp; pad ring stays exact zero."""
+    from arseg_tpu.ops.resize import resize_bilinear, resize_bilinear_padded
+
+    rng = np.random.RandomState(22)
+    x = jnp.asarray(rng.randn(1, 45, 60, 8).astype(np.float32)).astype(jnp.bfloat16)
+    want = resize_bilinear(x, (90, 120), align_corners=True)
+    got = resize_bilinear_padded(x, (90, 120), True, ((1, 1), (1, 7)))
+    inner = got[:, 1:91, 1:121]
+    np.testing.assert_allclose(
+        np.asarray(inner, np.float32), np.asarray(want, np.float32), rtol=2e-2, atol=2e-2
+    )
+    assert (np.asarray(got[:, 0], np.float32) == 0).all()
+    assert (np.asarray(got[:, :, -7:], np.float32) == 0).all()

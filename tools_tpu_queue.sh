@@ -1,0 +1,40 @@
+#!/bin/bash
+# Prioritized TPU measurement queue for the round-3 open items. Run ONCE
+# when the axon tunnel returns (single-client: stop any watcher/probe
+# first). Ordering: cheap/diagnostic first, crash-risky last — a worker
+# crash in r3m variant d or the pathology retest cannot block the earlier
+# measurements.
+#
+# Usage: bash tools_tpu_queue.sh [logdir]   (default /tmp/tpu_queue)
+set -u
+LOG=${1:-/tmp/tpu_queue}
+mkdir -p "$LOG"
+cd /root/repo
+
+# stop a polling watcher (single-client), unless it is our own parent
+# (the watcher launches this queue itself on TPU_UP and then just waits)
+if [ -f /tmp/tpu_watch.pid ] && [ "$(cat /tmp/tpu_watch.pid)" != "$PPID" ]; then
+  kill "$(cat /tmp/tpu_watch.pid)" 2>/dev/null
+  sleep 2
+fi
+
+run() {
+  name=$1; tmo=$2; shift 2
+  echo "=== $name ($(date +%H:%M:%S)) ===" | tee -a "$LOG/queue.log"
+  timeout "$tmo" "$@" >"$LOG/$name.log" 2>&1
+  rc=$?
+  tail -4 "$LOG/$name.log" | sed "s/^/  /" | tee -a "$LOG/queue.log"
+  echo "--- $name rc=$rc ($(date +%H:%M:%S))" | tee -a "$LOG/queue.log"
+  return $rc
+}
+
+run probe 300 python -c "import jax; print(jax.devices())" || {
+  echo "tunnel still down; aborting" | tee -a "$LOG/queue.log"; exit 1; }
+
+run profile   2400 python tools_profile_gop.py
+run r3n       5400 python tools_probe_r3n.py
+run bench     3600 python bench.py
+run feeder    5400 python tools_bench_feeder_tpu.py 30
+run r3m       5400 python tools_probe_r3m.py
+run pathology 5400 python tools_retest_pathologies.py
+echo "QUEUE DONE ($(date +%H:%M:%S))" | tee -a "$LOG/queue.log"

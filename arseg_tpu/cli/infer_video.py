@@ -51,6 +51,15 @@ def main(argv=None):
     p.add_argument("--num_devices", type=int, default=None,
                    help="mesh size for --streams (default: all devices that "
                         "divide the stream count)")
+    p.add_argument("--video", default=None,
+                   help="serve DIRECTLY from a compressed HEVC bitstream "
+                        "(frames decoded in-process, no PNG intermediary); "
+                        "requires --mv_carrier. Mutually exclusive with "
+                        "--data_path/--flow_path/--streams.")
+    p.add_argument("--mv_carrier", default=None,
+                   help="H.264 carrier bitstream for --video (same frames, "
+                        "same --ref_gap; MVs decoded + chain-merged in "
+                        "memory)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -87,10 +96,22 @@ def main(argv=None):
         if args.gop_batch > 1:
             p.error("--streams and --gop_batch are mutually exclusive "
                     "(streams batch across the mesh instead)")
+        if args.video or args.mv_carrier:
+            p.error("--video serves one stream; use --streams OR --video")
         _run_streams(args, pipe, hr_params, ar_params, flow_shape)
         return
+    if args.video or args.mv_carrier:
+        if not (args.video and args.mv_carrier):
+            p.error("--video and --mv_carrier go together")
+        if args.data_path or args.flow_path:
+            p.error("--video is mutually exclusive with --data_path/--flow_path")
+        if args.gop_batch > 1 and args.lr_chunk > 1:
+            p.error("--gop_batch requires the default lr_chunk=1")
+        _run_video(args, pipe, hr_params, ar_params)
+        return
     if not (args.data_path and args.flow_path):
-        p.error("--data_path and --flow_path are required unless --streams is given")
+        p.error("--data_path and --flow_path are required unless --streams "
+                "or --video is given")
     if args.gop_batch > 1 and args.lr_chunk > 1:
         p.error("--gop_batch requires the default lr_chunk=1 (batched phase 1)")
 
@@ -132,6 +153,58 @@ def main(argv=None):
         else f"single GOP incl. compile: {s['mean_ms'] / 1e3:.1f}s"
     )
     print(f"{n_gops * g} frames -> {args.out_dir}  ({rate})")
+
+
+def _backend_norm(backend):
+    """Normalization constants of the backend's training dataset."""
+    if backend.startswith("camvid"):
+        from arseg_tpu.data.camvid import CAMVID_MEAN, CAMVID_STD
+
+        return CAMVID_MEAN, CAMVID_STD
+    from arseg_tpu.data.cityscapes import MEANS
+
+    return MEANS["bisenet" if "bise" in backend else "pspnet"]
+
+
+def _run_video(args, pipe, hr_params, ar_params):
+    """Direct video serving: frames from the HEVC bitstream, MVs from the
+    H.264 carrier, decoded + merged in memory (gop/video_source.py) — no
+    PNG/bin files anywhere on the input side."""
+    import jax.numpy as jnp
+
+    from arseg_tpu.gop.feeder import AsyncWriter, GOPFeeder
+    from arseg_tpu.gop.video_source import VideoGOPSource
+    from arseg_tpu.utils.profiling import StepTimer
+
+    g = args.ref_gap
+    mean, std = _backend_norm(args.backend)
+    src = VideoGOPSource(args.video, args.mv_carrier, g, mean, std)
+    feeder = GOPFeeder(
+        src, g, num_workers=args.io_workers,
+        depth=max(1, args.prefetch if args.gop_batch == 1 else 1),
+        stage=args.prefetch > 0,
+        gop_batch=args.gop_batch,
+    )
+    writer = AsyncWriter(args.out_dir, colorize=args.colorize)
+    timer = StepTimer(frames_per_step=g)
+    total = 0
+    for gi, keyframe, frames, flows in feeder:
+        n_frames = (frames.shape[0] * g) if frames.ndim == 5 else g
+        with timer.step(n_frames):
+            preds = pipe(hr_params, ar_params, jnp.asarray(keyframe),
+                         jnp.asarray(frames), flows)
+            np.asarray(preds[(0,) * preds.ndim])  # one-elt sync (bench.py)
+        writer.put(preds.reshape(-1, *preds.shape[-2:]),
+                   [f"{i:05d}" for i in range(gi * g, gi * g + n_frames)])
+        total += n_frames
+    writer.close()
+    s = timer.summary()
+    rate = (
+        f"{s['frames_per_sec']:.1f} frames/sec"
+        if s["steps"] > 1
+        else f"single GOP incl. compile: {s['mean_ms'] / 1e3:.1f}s"
+    )
+    print(f"{total} frames -> {args.out_dir}  ({rate})")
 
 
 def _run_streams(args, pipe, hr_params, ar_params, flow_shape):

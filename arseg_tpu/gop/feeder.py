@@ -64,6 +64,12 @@ class GOPFeeder:
         return len(self.dataset) // self.g
 
     def _host_iter(self):
+        # sequential sources (VideoGOPSource: direct compressed-stream
+        # decode) produce whole GOP items in order; one producer thread
+        # gives the same host/device overlap as the random-access workers
+        if hasattr(self.dataset, "iter_gops"):
+            yield from self._seq_host_iter()
+            return
         n_gops = len(self)
         results = {}
         lock = threading.Condition()
@@ -116,27 +122,52 @@ class GOPFeeder:
             with lock:
                 lock.notify_all()
 
+    def _seq_host_iter(self):
+        """Drive a sequential source's iter_gops() on one producer thread,
+        `depth + num_workers` GOP items of look-ahead (matching the
+        random-access path's host memory bound)."""
+        q = queue.Queue(maxsize=self.depth + self.num_workers)
+        done = object()
+
+        def producer():
+            try:
+                for item in self.dataset.iter_gops():
+                    q.put(item)
+                q.put(done)
+            except Exception as e:  # surface in consumer
+                q.put(e)
+
+        threading.Thread(target=producer, daemon=True).start()
+        gi = 0
+        while True:
+            item = q.get()
+            if item is done:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield gi, item
+            gi += 1
+
     def _batched_iter(self):
         """Group consecutive GOPs into [B, ...] stacks (full stacks only;
-        the ragged tail is re-emitted GOP-at-a-time)."""
+        the ragged tail — including all of an unknown-length sequential
+        source's leftovers — is emitted GOP-at-a-time at the end, so only
+        the two program shapes ever compile)."""
         if self.gop_batch == 1:
             yield from self._host_iter()
             return
-        n_gops = len(self)
-        n_full = (n_gops // self.gop_batch) * self.gop_batch
         pending = []
         for gi, item in self._host_iter():
-            if gi >= n_full:
-                yield gi, item
-                continue
-            pending.append(item)
+            pending.append((gi, item))
             if len(pending) == self.gop_batch:
-                kf = np.stack([p[0][0] for p in pending])
-                fr = np.stack([p[1] for p in pending])
-                fx = np.stack([p[2] for p in pending])
-                fy = np.stack([p[3] for p in pending])
-                yield gi - self.gop_batch + 1, (kf, fr, fx, fy)
+                kf = np.stack([p[1][0][0] for p in pending])
+                fr = np.stack([p[1][1] for p in pending])
+                fx = np.stack([p[1][2] for p in pending])
+                fy = np.stack([p[1][3] for p in pending])
+                yield pending[0][0], (kf, fr, fx, fy)
                 pending = []
+        for gi, item in pending:
+            yield gi, item
 
     def __iter__(self):
         if not self.stage:

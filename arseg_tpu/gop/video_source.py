@@ -1,0 +1,120 @@
+"""Direct video->device GOP source: decode compressed streams in memory.
+
+The reference cannot serve from video at all — its pipeline shells out to
+x265/dec265/ffmpeg offline, round-trips every frame through PNG files and
+every MV map through .bin files, and evaluation then re-decodes those PNGs
+per frame (`/root/reference/evaluation.py` main loops;
+`pre-process/generate_compressed_dataset_camvid.py:222-246`). PNG
+encode+decode of 720x960 frames costs tens of ms/frame of host CPU — far
+below the ~750 fps/chip device rate (tools_bench_feeder_host.py), so a
+PNG-fed pipeline is host-bound at serving time.
+
+`VideoGOPSource` instead feeds `GOPFeeder` straight from the two
+elementary streams the AR-Seg protocol already defines:
+
+  frames  <- the HEVC bitstream (what the method segments),
+  MVs     <- the H.264 carrier (what the method warps by),
+
+decoded in-process by the native runtime (libavcodec callback API,
+`native/arsegvid.cpp:arsegvid_decode_frames_cb/_decode_mvs_cb`) and
+chain-merged per GOP in memory (`arsegvid_merge_mv`) — no intermediate
+file, no PNG codec anywhere. RGB bytes are identical to the
+`decoded-%03d.png` artifacts (same swscale conversion, byte-for-byte;
+tests/test_video_source.py), so eval numbers are unaffected.
+"""
+
+import queue
+import threading
+
+import numpy as np
+
+
+class VideoGOPSource:
+    """Sequential GOP source over (hevc_path, carrier_path).
+
+    iter_gops() yields GOPFeeder host items: (keyframe [1,H,W,3] float32
+    normalized, frames [G-1,H,W,3], fx [G-1,H,W], fy [G-1,H,W] float pixel
+    displacements current->keyframe). Frame and MV decode each run on their
+    own thread (ctypes releases the GIL inside libavcodec), bounded to
+    `lookahead` GOPs of host memory. A trailing partial GOP is dropped
+    (same `len(ds) // g` convention as the file-based path).
+    """
+
+    def __init__(self, hevc_path, carrier_path, ref_gap, mean, std,
+                 native=None, lookahead=2):
+        if native is None:
+            from arseg_tpu.tools.video import load_native
+
+            native = load_native()
+            if native is None:
+                raise RuntimeError(
+                    "native arsegvid library unavailable (run `make -C native`)"
+                )
+        self.native = native
+        self.hevc_path = hevc_path
+        self.carrier_path = carrier_path
+        self.g = int(ref_gap)
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        self.lookahead = max(1, int(lookahead))
+
+    def _decode_thread(self, decode_fn, path, out_q):
+        """Run a native callback decode, pushing per-GOP lists of frame
+        copies; None terminates, an Exception propagates."""
+        g = self.g
+        acc = []
+
+        def on_frame(idx, arr):
+            acc.append(arr.copy())
+            if len(acc) == g:
+                out_q.put(list(acc))
+                acc.clear()
+
+        try:
+            decode_fn(path, on_frame)
+            out_q.put(None)  # EOS (partial tail in `acc` is dropped)
+        except Exception as e:  # pragma: no cover - surfaced in iter_gops
+            out_q.put(e)
+
+    def iter_gops(self):
+        frame_q = queue.Queue(maxsize=self.lookahead)
+        mv_q = queue.Queue(maxsize=self.lookahead)
+        threads = [
+            threading.Thread(
+                target=self._decode_thread,
+                args=(self.native.decode_frames_cb, self.hevc_path, frame_q),
+                daemon=True,
+            ),
+            threading.Thread(
+                target=self._decode_thread,
+                args=(self.native.decode_mvs_cb, self.carrier_path, mv_q),
+                daemon=True,
+            ),
+        ]
+        for t in threads:
+            t.start()
+        inv_std = 1.0 / self.std
+        while True:
+            frames = frame_q.get()
+            mvs = mv_q.get()
+            for item in (frames, mvs):
+                if isinstance(item, Exception):
+                    raise item
+            if frames is None or mvs is None:
+                if (frames is None) != (mvs is None):
+                    raise RuntimeError(
+                        "frame/carrier stream GOP counts differ — encode both "
+                        "from the same frames with the same --ref_gap"
+                    )
+                return
+            imgs = (np.stack(frames).astype(np.float32) / 255.0 - self.mean) * inv_std
+            # chain-merge this GOP's MV maps (frames key+1..key+G-1) into
+            # keyframe displacements; bins carry qpel int16, flow is px
+            merged = self.native.merge_mv(np.stack(mvs[1:]), max_ref=self.g)
+            flow = merged[1:].astype(np.float32) / 4.0
+            yield (
+                imgs[:1],
+                imgs[1:],
+                np.ascontiguousarray(flow[..., 0]),
+                np.ascontiguousarray(flow[..., 1]),
+            )

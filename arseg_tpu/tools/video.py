@@ -56,6 +56,20 @@ class NativeVideo:
         ]
         lib.arsegvid_decode.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
         lib.arsegvid_mvdump.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+        self._RGB_CB = ctypes.CFUNCTYPE(
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        )
+        self._MV_CB = ctypes.CFUNCTYPE(
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int16),
+        )
+        lib.arsegvid_decode_frames_cb.argtypes = [
+            ctypes.c_char_p, self._RGB_CB, ctypes.c_void_p,
+        ]
+        lib.arsegvid_decode_mvs_cb.argtypes = [
+            ctypes.c_char_p, self._MV_CB, ctypes.c_void_p,
+        ]
         lib.arsegvid_merge_mv.argtypes = [
             ctypes.POINTER(ctypes.c_int16), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int16),
@@ -92,6 +106,50 @@ class NativeVideo:
     def mvdump(self, bitstream_path, out_dir):
         return self._check(self._lib.arsegvid_mvdump(
             os.fspath(bitstream_path).encode(), os.fspath(out_dir).encode()))
+
+    def decode_frames_cb(self, bitstream_path, on_frame):
+        """In-memory decode: calls `on_frame(idx, rgb)` per frame with a
+        uint8 [h, w, 3] array VIEW valid only inside the callback (copy to
+        keep). Returns the frame count. No PNG round trip — the RGB bytes
+        are identical to the decoded-%03d.png artifacts (same swscale
+        conversion)."""
+        err = []
+
+        def _cb(_user, idx, w, h, ptr):
+            try:
+                arr = np.ctypeslib.as_array(ptr, shape=(h, w, 3))
+                on_frame(idx, arr)
+                return 0
+            except Exception as e:  # surface to the caller, abort decode
+                err.append(e)
+                return -1
+
+        ret = self._lib.arsegvid_decode_frames_cb(
+            os.fspath(bitstream_path).encode(), self._RGB_CB(_cb), None)
+        if err:
+            raise err[0]
+        return self._check(ret)
+
+    def decode_mvs_cb(self, bitstream_path, on_frame):
+        """In-memory MV dump: calls `on_frame(idx, mv3)` per frame (EVERY
+        frame — keyframes get the all-intra map) with an int16 [h, w, 3]
+        view (copy to keep). Returns the frame count."""
+        err = []
+
+        def _cb(_user, idx, w, h, ptr):
+            try:
+                arr = np.ctypeslib.as_array(ptr, shape=(h, w, 3))
+                on_frame(idx, arr)
+                return 0
+            except Exception as e:
+                err.append(e)
+                return -1
+
+        ret = self._lib.arsegvid_decode_mvs_cb(
+            os.fspath(bitstream_path).encode(), self._MV_CB(_cb), None)
+        if err:
+            raise err[0]
+        return self._check(ret)
 
     def merge_mv(self, bins, max_ref=3):
         """bins: int16 [n_frames, h, w, 3] (frames 1..n). Returns int16

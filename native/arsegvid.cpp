@@ -372,6 +372,57 @@ extern "C" int arsegvid_mvdump(const char *bitstream_path,
   });
 }
 
+extern "C" int arsegvid_decode_frames_cb(const char *bitstream_path,
+                                         arsegvid_rgb_cb cb, void *user) {
+  /* In-memory decode for direct video->device serving: no PNG round trip.
+   * RGB24 conversion is the same SWS_BILINEAR context write_png uses, so
+   * frames are byte-identical to the decoded-%03d.png artifacts. */
+  SwsPtr sws;
+  FramePtr rgb;
+  std::vector<uint8_t> buf;
+  return decode_stream(bitstream_path, false, [&](AVFrame *f, int i) -> int {
+    int w = f->width, h = f->height;
+    const uint8_t *src;
+    int stride;
+    if (f->format != AV_PIX_FMT_RGB24) {
+      if (!sws.s) {
+        sws.s = sws_getContext(w, h, (AVPixelFormat)f->format, w, h,
+                               AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
+                               nullptr, nullptr);
+        if (!sws.s) return fail("sws context");
+        rgb.f->format = AV_PIX_FMT_RGB24;
+        rgb.f->width = w;
+        rgb.f->height = h;
+        int r = av_frame_get_buffer(rgb.f, 0);
+        if (r < 0) return fail_av("alloc rgb", r);
+      }
+      sws_scale(sws.s, f->data, f->linesize, 0, h, rgb.f->data,
+                rgb.f->linesize);
+      src = rgb.f->data[0];
+      stride = rgb.f->linesize[0];
+    } else {
+      src = f->data[0];
+      stride = f->linesize[0];
+    }
+    buf.resize((size_t)h * w * 3);
+    for (int y = 0; y < h; y++)
+      std::memcpy(buf.data() + (size_t)y * w * 3, src + (size_t)y * stride,
+                  (size_t)w * 3);
+    return cb(user, i, w, h, buf.data());
+  });
+}
+
+extern "C" int arsegvid_decode_mvs_cb(const char *bitstream_path,
+                                      arsegvid_mv_cb cb, void *user) {
+  /* Per-frame int16 [H, W, 3] qpel MV maps, every frame (keyframes get the
+   * all-intra map: zeros with offset -1) — same rasterization as mvdump. */
+  std::vector<int16_t> map;
+  return decode_stream(bitstream_path, true, [&](AVFrame *f, int i) -> int {
+    rasterize_mvs(f, map);
+    return cb(user, i, f->width, f->height, map.data());
+  });
+}
+
 extern "C" int arsegvid_merge_mv(const int16_t *bins, int n_frames, int h,
                                  int w, int max_ref, int16_t *out) {
   if (n_frames < 0 || h <= 0 || w <= 0) return fail("bad merge dims");

@@ -54,6 +54,22 @@ int arsegvid_decode(const char *bitstream_path, const char *out_dir);
  * Returns frame count. */
 int arsegvid_mvdump(const char *bitstream_path, const char *out_dir);
 
+/* In-memory decode for direct video->device serving (no PNG/bin files).
+ * Callbacks receive contiguous row-major buffers owned by the decoder,
+ * valid only for the duration of the call; return negative to abort.
+ * Both return the decoded frame count. */
+typedef int (*arsegvid_rgb_cb)(void *user, int idx, int w, int h,
+                               const uint8_t *rgb /* [h, w, 3] */);
+int arsegvid_decode_frames_cb(const char *bitstream_path, arsegvid_rgb_cb cb,
+                              void *user);
+
+/* Per-frame MV maps for EVERY frame (keyframes yield the all-intra map:
+ * zeros with offset -1), same rasterization as arsegvid_mvdump. */
+typedef int (*arsegvid_mv_cb)(void *user, int idx, int w, int h,
+                              const int16_t *mv3 /* [h, w, 3] */);
+int arsegvid_decode_mvs_cb(const char *bitstream_path, arsegvid_mv_cb cb,
+                           void *user);
+
 /* Chain per-frame block MVs into keyframe->frame displacement fields.
  * bins: n_frames contiguous int16 [h, w, 3] maps for frames 1..n_frames
  * (frame 0 is the keyframe). out: (n_frames + 1) contiguous int16

@@ -108,3 +108,86 @@ def test_infer_video_cli_streams(tmp_path):
             a = np.asarray(Image.open(tmp_path / "multi" / f"s{s}" / f"{i:05d}.png"))
             b = np.asarray(Image.open(out / f"{i:05d}.png"))
             np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_infer_video_cli_direct_video(tmp_path):
+    """--video serving: compressed HEVC + H.264 carrier straight to class
+    maps, no PNG/bin inputs anywhere. Output must equal the file-based path
+    run on the SAME decoded frames + merged MVs (the artifacts the video
+    mode replaces)."""
+    from arseg_tpu.tools.video import load_native
+
+    native = load_native()
+    if native is None:
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.RandomState(11)
+    canvas = rng.randint(0, 255, (H, W + 32, 3), np.uint8).astype(np.int32)
+    canvas = (canvas + np.roll(canvas, 1, 0) + np.roll(canvas, 1, 1)) // 3
+    canvas = canvas.astype(np.uint8)
+    srcdir = tmp_path / "src"
+    srcdir.mkdir()
+    paths = []
+    for i in range(N):
+        p = srcdir / f"{i:03d}.png"
+        Image.fromarray(canvas[:, 2 * i : 2 * i + W]).save(p)
+        paths.append(str(p))
+    hevc = str(tmp_path / "s.hevc")
+    carrier = str(tmp_path / "s.264")
+    native.encode(paths, hevc, codec="libx265", gop=GAP, bitrate_kbps=2000)
+    native.encode(paths, carrier, codec="libx264", gop=GAP, bitrate_kbps=2000)
+
+    hr = build_model("camvid-psp18", fuse=False)
+    ar = build_model("camvid-psp18", fuse=True)
+    save_checkpoint(tmp_path / "hr.ckpt", hr.init(jax.random.PRNGKey(0)))
+    save_checkpoint(tmp_path / "ar.ckpt", ar.init(jax.random.PRNGKey(1)))
+
+    from arseg_tpu.cli.infer_video import main
+
+    out_v = tmp_path / "out_video"
+    main([
+        "--video", hevc, "--mv_carrier", carrier,
+        "--out_dir", str(out_v),
+        "--hr_snapshot", str(tmp_path / "hr.ckpt"),
+        "--ar_snapshot", str(tmp_path / "ar.ckpt"),
+        "--backend", "camvid-psp18", "--ref_gap", str(GAP),
+        "--dtype", "float32",
+    ])
+    assert sorted(os.listdir(out_v)) == [f"{i:05d}.png" for i in range(N)]
+
+    # file-based reference run over the SAME decoded frames + merged MVs
+    dec = tmp_path / "dec"
+    mvdir = tmp_path / "mvdump"
+    flows = tmp_path / "mv"
+    dec.mkdir()
+    mvdir.mkdir()
+    flows.mkdir()
+    native.decode(hevc, str(dec))
+    native.mvdump(carrier, str(mvdir))
+    data = tmp_path / "decoded"
+    data.mkdir()
+    for i in range(N):
+        os.rename(dec / f"decoded-{i + 1:03d}.png", data / f"{i:05d}.png")
+    for g0 in range(0, N, GAP):
+        bins = np.stack([
+            np.fromfile(mvdir / f"test_{g0 + d:03d}.bin", np.int16).reshape(H, W, 3)
+            for d in range(1, GAP)
+        ])
+        merged = native.merge_mv(bins, max_ref=GAP)
+        for d in range(GAP):
+            merged[d].astype(np.int16).tofile(flows / f"{g0 + d:05d}.bin")
+
+    out_f = tmp_path / "out_files"
+    main([
+        "--data_path", str(data), "--flow_path", str(flows),
+        "--out_dir", str(out_f),
+        "--hr_snapshot", str(tmp_path / "hr.ckpt"),
+        "--ar_snapshot", str(tmp_path / "ar.ckpt"),
+        "--backend", "camvid-psp18", "--ref_gap", str(GAP),
+        "--dtype", "float32", "--flow_shape", str(H), str(W),
+    ])
+    for i in range(N):
+        a = np.asarray(Image.open(out_v / f"{i:05d}.png"))
+        b = np.asarray(Image.open(out_f / f"{i:05d}.png"))
+        np.testing.assert_array_equal(a, b)

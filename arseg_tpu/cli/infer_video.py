@@ -87,6 +87,9 @@ def main(argv=None):
     pipe = ARPipeline(
         hr_model, ar_model, scale=args.scale, dtype=jnp.dtype(args.dtype),
         lr_chunk=args.lr_chunk,  # lr_chunk>1 selects the legacy chunked path
+        # inert for the f32 file-based feeds; lets --video ship raw uint8
+        # frames and normalize on device (gop/video_source.py)
+        normalize=_backend_norm(args.backend),
     )
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -178,7 +181,8 @@ def _run_video(args, pipe, hr_params, ar_params):
 
     g = args.ref_gap
     mean, std = _backend_norm(args.backend)
-    src = VideoGOPSource(args.video, args.mv_carrier, g, mean, std)
+    src = VideoGOPSource(args.video, args.mv_carrier, g, mean, std,
+                         device_normalize=True)
     feeder = GOPFeeder(
         src, g, num_workers=args.io_workers,
         depth=max(1, args.prefetch if args.gop_batch == 1 else 1),

@@ -20,6 +20,7 @@ step N runs.
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -51,10 +52,25 @@ class ARPipeline:
     """
 
     def __init__(self, hr_model, lr_model, scale=0.5, dtype=jnp.float32, lr_chunk=1,
-                 p1_batched=None):
+                 p1_batched=None, normalize=None):
         self.hr_model = hr_model
         self.lr_model = lr_model
         self.scale = scale
+        # normalize=(mean, std): accept RAW uint8 frames and normalize
+        # on-device in f32 — bitwise-identical to the host transform
+        # ((x/255 - mean) / std, data/transform.py:normalize; uint8->f32,
+        # f32 div/sub are exact IEEE ops on both sides), 4x less H2D
+        # traffic, and the host sheds ~0.7 s/GOP of numpy broadcasting at
+        # 720x960 (tools_bench_feeder_host.py). f32 inputs pass through
+        # untouched, so setting this never changes the traced program for
+        # already-normalized feeds.
+        if normalize is not None:
+            mean, std = normalize
+            normalize = (
+                jnp.asarray(np.asarray(mean, np.float32)),
+                jnp.asarray(np.asarray(std, np.float32)),
+            )
+        self.normalize = normalize
         # dtype=bfloat16 casts params + frames at the jit boundary: conv/
         # matmul paths run at the MXU's 4x bf16 rate (flow index math and
         # softmax stay f32 inside the ops; argmax output unaffected).
@@ -100,6 +116,14 @@ class ARPipeline:
         from arseg_tpu.utils.tree import cast_f32
 
         return cast_f32(tree, self.dtype)
+
+    def _maybe_normalize(self, x):
+        """On-device normalize of RAW uint8 frames (see __init__); f32
+        inputs are already normalized and pass through."""
+        if self.normalize is None or x.dtype != jnp.uint8:
+            return x
+        mean, std = self.normalize
+        return (x.astype(jnp.float32) / 255.0 - mean) / std
 
     def _phase2_logits(self, lr_params, feat, warped):
         # log_softmax is monotonic: skip it ahead of argmax when supported
@@ -148,6 +172,8 @@ class ARPipeline:
             fx, fy = flows
         else:  # packed [B,G-1,Hf,Wf,2] compat — same split as _gop_step
             fx, fy = flows[..., 0], flows[..., 1]
+        keyframes = self._maybe_normalize(keyframes)
+        frames = self._maybe_normalize(frames)
         hr_params, lr_params, keyframes, frames = self._cast(
             (hr_params, lr_params, keyframes, frames)
         )
@@ -186,6 +212,8 @@ class ARPipeline:
         if frames.ndim == 5:
             return self._multi_gop_step(hr_params, lr_params, keyframe, frames, flows)
         g1, h, w, _ = frames.shape
+        keyframe = self._maybe_normalize(keyframe)
+        frames = self._maybe_normalize(frames)
         hr_params, lr_params, keyframe, frames = self._cast(
             (hr_params, lr_params, keyframe, frames)
         )

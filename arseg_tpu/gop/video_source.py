@@ -41,7 +41,7 @@ class VideoGOPSource:
     """
 
     def __init__(self, hevc_path, carrier_path, ref_gap, mean, std,
-                 native=None, lookahead=2):
+                 native=None, lookahead=2, device_normalize=False):
         if native is None:
             from arseg_tpu.tools.video import load_native
 
@@ -57,6 +57,11 @@ class VideoGOPSource:
         self.mean = np.asarray(mean, np.float32)
         self.std = np.asarray(std, np.float32)
         self.lookahead = max(1, int(lookahead))
+        # device_normalize: yield RAW uint8 frames for an
+        # ARPipeline(normalize=(mean, std)) — the host sheds the f32
+        # broadcasting (~0.7 s/GOP at 720x960 single-core) and H2D moves
+        # 4x fewer bytes; device math is bitwise-identical (pipeline.py)
+        self.device_normalize = bool(device_normalize)
 
     def _decode_thread(self, decode_fn, path, out_q):
         """Run a native callback decode, pushing per-GOP lists of frame
@@ -93,7 +98,6 @@ class VideoGOPSource:
         ]
         for t in threads:
             t.start()
-        inv_std = 1.0 / self.std
         while True:
             frames = frame_q.get()
             mvs = mv_q.get()
@@ -107,7 +111,11 @@ class VideoGOPSource:
                         "from the same frames with the same --ref_gap"
                     )
                 return
-            imgs = (np.stack(frames).astype(np.float32) / 255.0 - self.mean) * inv_std
+            if self.device_normalize:
+                imgs = np.stack(frames)  # uint8, normalized on device
+            else:
+                # exactly data/transform.py:normalize (/ std, not * inv)
+                imgs = (np.stack(frames).astype(np.float32) / 255.0 - self.mean) / self.std
             # chain-merge this GOP's MV maps (frames key+1..key+G-1) into
             # keyframe displacements; bins carry qpel int16, flow is px
             merged = self.native.merge_mv(np.stack(mvs[1:]), max_ref=self.g)

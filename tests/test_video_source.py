@@ -69,9 +69,11 @@ def test_iter_gops_matches_file_artifacts(streams):
             png = np.asarray(
                 Image.open(dec / f"decoded-{gi * GAP + k + 1:03d}.png")
             )
-            want = (png.astype(np.float32) / 255.0 - mean) * (1.0 / std)
+            from arseg_tpu.data import transform as T
+
+            want = T.normalize(png, MEAN, STD)
             got = kf[0] if k == 0 else frames[k - 1]
-            np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+            np.testing.assert_array_equal(got, want)
         # flows: merge of this GOP's file-dumped bins, qpel -> px
         bins = np.stack([
             np.fromfile(mv / f"test_{gi * GAP + d:03d}.bin", dtype=np.int16)
@@ -137,3 +139,36 @@ def test_mismatched_streams_error(streams, tmp_path):
     src = VideoGOPSource(hevc, short, GAP, MEAN, STD)
     with pytest.raises(RuntimeError, match="GOP counts differ"):
         list(src.iter_gops())
+
+
+@needs_native
+def test_device_normalize_matches_host(streams):
+    """device_normalize=True (raw uint8 + ARPipeline(normalize=...)) must
+    reproduce the host-normalized f32 feed bit-for-bit at f32: uint8->f32,
+    /255, -mean, /std are exact IEEE ops on both sides."""
+    import jax
+    import jax.numpy as jnp
+
+    from arseg_tpu.gop.pipeline import ARPipeline
+    from arseg_tpu.gop.video_source import VideoGOPSource
+    from arseg_tpu.models import build_model
+
+    root, hevc, carrier, dec, mv = streams
+    host = list(VideoGOPSource(hevc, carrier, GAP, MEAN, STD).iter_gops())
+    raw = list(VideoGOPSource(hevc, carrier, GAP, MEAN, STD,
+                              device_normalize=True).iter_gops())
+    assert raw[0][0].dtype == np.uint8
+
+    hr = build_model("camvid-psp18", fuse=False)
+    ar = build_model("camvid-psp18", fuse=True)
+    hrp = hr.init(jax.random.PRNGKey(0))
+    arp = ar.init(jax.random.PRNGKey(1))
+    pipe = ARPipeline(hr, ar, scale=0.5, normalize=(MEAN, STD))
+    for (kf_h, fr_h, fx, fy), (kf_u, fr_u, _, _) in zip(host, raw):
+        # the normalize op itself must be exact
+        got = pipe._maybe_normalize(jnp.asarray(fr_u))
+        np.testing.assert_array_equal(np.asarray(got), fr_h)
+        # and the full program must agree between the two feeds
+        p_host = pipe(hrp, arp, jnp.asarray(kf_h), jnp.asarray(fr_h), (fx, fy))
+        p_raw = pipe(hrp, arp, jnp.asarray(kf_u), jnp.asarray(fr_u), (fx, fy))
+        np.testing.assert_array_equal(np.asarray(p_host), np.asarray(p_raw))

@@ -62,8 +62,36 @@ def main():
             n += 1
         dt = time.perf_counter() - t0
         fps = (n - 1) * G / dt
-        print(f"io_workers={workers}: {fps:7.1f} frames/s host decode+assembly "
-              f"({dt/(n-1)*1e3:.1f} ms/GOP)", flush=True)
+        print(f"png io_workers={workers}: {fps:7.1f} frames/s host "
+              f"decode+assembly ({dt/(n-1)*1e3:.1f} ms/GOP)", flush=True)
+
+    # direct video source (gop/video_source.py): HEVC frames + H.264 MV
+    # carrier decoded in-process, per-GOP in-memory merge — the serving
+    # path that replaces the PNG/bin round trip above
+    from arseg_tpu.tools.video import load_native
+    from arseg_tpu.gop.video_source import VideoGOPSource
+
+    native = load_native()
+    paths = [f"{ROOT}/decoded/{i:05d}.png" for i in range(N_GOPS * G)]
+    native.encode(paths, f"{ROOT}/s.hevc", codec="libx265", gop=G,
+                  bitrate_kbps=3000)
+    native.encode(paths, f"{ROOT}/s.264", codec="libx264", gop=G,
+                  bitrate_kbps=3000)
+    for tag, devnorm in (("host-norm", False), ("dev-norm", True)):
+        src = VideoGOPSource(f"{ROOT}/s.hevc", f"{ROOT}/s.264", G,
+                             (0.4, 0.4, 0.4), (0.3, 0.3, 0.3),
+                             device_normalize=devnorm)
+        feeder = GOPFeeder(src, G, depth=2, stage=False)
+        it = iter(feeder)
+        next(it)
+        t0 = time.perf_counter()
+        n = 1
+        for _ in it:
+            n += 1
+        dt = time.perf_counter() - t0
+        fps = (n - 1) * G / dt
+        print(f"video ({tag}): {fps:7.1f} frames/s host decode+merge+"
+              f"assembly ({dt/(n-1)*1e3:.1f} ms/GOP)", flush=True)
     print("DONE", flush=True)
 
 

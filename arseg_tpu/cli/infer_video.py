@@ -233,17 +233,28 @@ def _run_streams(args, pipe, hr_params, ar_params, flow_shape):
     for spec in specs:
         if len(spec) not in (2, 3):
             raise SystemExit(f"bad --streams entry {':'.join(spec)!r} "
-                             "(want data_dir:flow_dir[:ref_dir])")
+                             "(want data_dir:flow_dir[:ref_dir], or "
+                             "video.hevc:carrier.264)")
+        if len(spec) == 2 and os.path.isfile(spec[0]):
+            # direct-video stream (gop/video_source.py). Host-side
+            # normalize here: file and video streams stack into ONE batch,
+            # so every stream must contribute the same (f32) dtype.
+            from arseg_tpu.gop.video_source import VideoGOPSource
+
+            mean, std = _backend_norm(args.backend)
+            datasets.append(VideoGOPSource(spec[0], spec[1], g, mean, std))
+            continue
         data_dir, flow_dir = spec[0], spec[1]
         ref_dir = spec[2] if len(spec) == 3 else data_dir
         datasets.append(CamVidWithFlowTest(
             data_dir, ref_gap=g, ref_path=ref_dir,
             flow_path=flow_dir, flow_shape=flow_shape,
         ))
-    n_gops = min(len(d) // g for d in datasets)
     s_count = len(datasets)
-    if n_gops == 0:
-        short = [sp[0] for sp, d in zip(specs, datasets) if len(d) < g]
+    file_ds = [(sp, d) for sp, d in zip(specs, datasets)
+               if not hasattr(d, "iter_gops")]
+    if any(len(d) < g for _, d in file_ds):
+        short = [sp[0] for sp, d in file_ds if len(d) < g]
         raise SystemExit(f"stream(s) shorter than --ref_gap {g}: {short}")
 
     if args.num_devices is not None:
@@ -265,7 +276,9 @@ def _run_streams(args, pipe, hr_params, ar_params, flow_shape):
         sub = os.path.join(args.out_dir, f"s{k}")
         os.makedirs(sub, exist_ok=True)
         writers.append(AsyncWriter(sub, colorize=args.colorize))
-        names.append([os.path.basename(p_)[:-4] for p_ in ds.data])
+        # video streams have no input filenames; index-named outputs
+        names.append(None if hasattr(ds, "iter_gops")
+                     else [os.path.basename(p_)[:-4] for p_ in ds.data])
 
     per_stream_workers = max(1, -(-args.io_workers // s_count))  # ceil, >= 1
     feeders = [
@@ -274,8 +287,9 @@ def _run_streams(args, pipe, hr_params, ar_params, flow_shape):
         for ds in datasets
     ]
     timer = StepTimer(frames_per_step=s_count * g)
-    for gi in range(n_gops):
-        items = [next(f) for f in feeders]
+    n_gops = 0
+    for gi, items in enumerate(zip(*feeders)):  # stops at the shortest stream
+        n_gops = gi + 1
         batch = shard_batch(
             {
                 "kf": np.stack([it[1][0] for it in items]),
@@ -290,7 +304,9 @@ def _run_streams(args, pipe, hr_params, ar_params, flow_shape):
                           batch["fx"], batch["fy"])
             np.asarray(preds[0, 0, 0, 0])  # one-elt sync (axon-safe)
         for k in range(s_count):
-            writers[k].put(preds[k], names[k][gi * g : (gi + 1) * g])
+            nm = (names[k][gi * g : (gi + 1) * g] if names[k] is not None
+                  else [f"{i:05d}" for i in range(gi * g, (gi + 1) * g)])
+            writers[k].put(preds[k], nm)
     for w in writers:
         w.close()
     s = timer.summary()

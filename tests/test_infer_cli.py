@@ -191,3 +191,62 @@ def test_infer_video_cli_direct_video(tmp_path):
         a = np.asarray(Image.open(out_v / f"{i:05d}.png"))
         b = np.asarray(Image.open(out_f / f"{i:05d}.png"))
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_infer_video_cli_video_streams(tmp_path):
+    """--streams accepts direct-video specs (video.hevc:carrier.264): two
+    video streams over a 2-device mesh must reproduce the single-stream
+    --video outputs per stream."""
+    from arseg_tpu.tools.video import load_native
+
+    native = load_native()
+    if native is None:
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.RandomState(13)
+    streams = []
+    for s in range(2):
+        canvas = rng.randint(0, 255, (H, W + 16, 3), np.uint8).astype(np.int32)
+        canvas = (canvas + np.roll(canvas, 1, 0) + np.roll(canvas, 1, 1)) // 3
+        canvas = canvas.astype(np.uint8)
+        srcdir = tmp_path / f"src{s}"
+        srcdir.mkdir()
+        paths = []
+        for i in range(GAP):
+            p = srcdir / f"{i:03d}.png"
+            Image.fromarray(canvas[:, 2 * i : 2 * i + W]).save(p)
+            paths.append(str(p))
+        hevc = str(tmp_path / f"s{s}.hevc")
+        carrier = str(tmp_path / f"s{s}.264")
+        native.encode(paths, hevc, codec="libx265", gop=GAP, bitrate_kbps=2000)
+        native.encode(paths, carrier, codec="libx264", gop=GAP, bitrate_kbps=2000)
+        streams.append((hevc, carrier))
+
+    hr = build_model("camvid-psp18", fuse=False)
+    ar = build_model("camvid-psp18", fuse=True)
+    save_checkpoint(tmp_path / "hr.ckpt", hr.init(jax.random.PRNGKey(0)))
+    save_checkpoint(tmp_path / "ar.ckpt", ar.init(jax.random.PRNGKey(1)))
+    common = [
+        "--hr_snapshot", str(tmp_path / "hr.ckpt"),
+        "--ar_snapshot", str(tmp_path / "ar.ckpt"),
+        "--backend", "camvid-psp18", "--ref_gap", str(GAP),
+        "--dtype", "float32",
+    ]
+
+    from arseg_tpu.cli.infer_video import main
+
+    out_multi = tmp_path / "out_multi"
+    main(["--streams", ",".join(f"{h}:{c}" for h, c in streams),
+          "--num_devices", "2", "--out_dir", str(out_multi)] + common)
+
+    for s, (hevc, carrier) in enumerate(streams):
+        out_single = tmp_path / f"out_single{s}"
+        main(["--video", hevc, "--mv_carrier", carrier,
+              "--out_dir", str(out_single)] + common)
+        got = sorted(os.listdir(out_multi / f"s{s}"))
+        assert got == [f"{i:05d}.png" for i in range(GAP)]
+        for name in got:
+            a = np.asarray(Image.open(out_multi / f"s{s}" / name))
+            b = np.asarray(Image.open(out_single / name))
+            np.testing.assert_array_equal(a, b)

@@ -103,88 +103,53 @@ def main(argv=None):
             p.error("--video serves one stream; use --streams OR --video")
         _run_streams(args, pipe, hr_params, ar_params, flow_shape)
         return
+    if args.gop_batch > 1 and args.lr_chunk > 1:
+        p.error("--gop_batch requires the default lr_chunk=1 (batched phase 1)")
     if args.video or args.mv_carrier:
         if not (args.video and args.mv_carrier):
             p.error("--video and --mv_carrier go together")
         if args.data_path or args.flow_path:
             p.error("--video is mutually exclusive with --data_path/--flow_path")
-        if args.gop_batch > 1 and args.lr_chunk > 1:
-            p.error("--gop_batch requires the default lr_chunk=1")
-        _run_video(args, pipe, hr_params, ar_params)
+        mean, std = _backend_norm(args.backend)
+        from arseg_tpu.gop.video_source import VideoGOPSource
+
+        src = VideoGOPSource(args.video, args.mv_carrier, g, mean, std,
+                             device_normalize=True)
+        _serve_gops(args, pipe, hr_params, ar_params, src, names=None)
         return
     if not (args.data_path and args.flow_path):
         p.error("--data_path and --flow_path are required unless --streams "
                 "or --video is given")
-    if args.gop_batch > 1 and args.lr_chunk > 1:
-        p.error("--gop_batch requires the default lr_chunk=1 (batched phase 1)")
 
     ds = CamVidWithFlowTest(
         args.data_path, ref_gap=args.ref_gap,
         ref_path=args.ref_path or args.data_path,
         flow_path=args.flow_path, flow_shape=flow_shape,
     )
-    names = [os.path.basename(p_)[:-4] for p_ in ds.data]
-    timer = StepTimer(frames_per_step=g)
-    n_gops = len(ds) // g
-    if n_gops == 0:
+    if len(ds) < g:
         raise SystemExit(f"sequence has {len(ds)} frames < --ref_gap {g}")
-    # pipelined serving: worker threads decode PNGs + MV bins and stage
-    # GOPs on device `--prefetch` ahead; a writer thread handles D2H + PNG
-    # encode — host IO overlaps device compute both ways (gop/feeder.py).
-    # With gop_batch>1 each staged item is a [B,...] stack (~gop_batch x the
-    # HBM), so staging depth is held at 1.
-    feeder = GOPFeeder(
-        ds, g, num_workers=args.io_workers,
-        depth=max(1, args.prefetch if args.gop_batch == 1 else 1),
-        stage=args.prefetch > 0,
-        gop_batch=args.gop_batch,
-    )
-    writer = AsyncWriter(args.out_dir, colorize=args.colorize)
-    for gi, keyframe, frames, flows in feeder:
-        n_frames = (frames.shape[0] * g) if frames.ndim == 5 else g
-        with timer.step(n_frames):
-            preds = pipe(hr_params, ar_params, jnp.asarray(keyframe),
-                         jnp.asarray(frames), flows)
-            np.asarray(preds[(0,) * preds.ndim])  # one-elt sync (axon-safe, see bench.py)
-        writer.put(preds.reshape(-1, *preds.shape[-2:]),
-                   names[gi * g : gi * g + n_frames])
-    writer.close()
-    s = timer.summary()
-    rate = (
-        f"{s['frames_per_sec']:.1f} frames/sec"
-        if s["steps"] > 1
-        else f"single GOP incl. compile: {s['mean_ms'] / 1e3:.1f}s"
-    )
-    print(f"{n_gops * g} frames -> {args.out_dir}  ({rate})")
+    names = [os.path.basename(p_)[:-4] for p_ in ds.data]
+    _serve_gops(args, pipe, hr_params, ar_params, ds, names)
 
 
-def _backend_norm(backend):
-    """Normalization constants of the backend's training dataset."""
-    if backend.startswith("camvid"):
-        from arseg_tpu.data.camvid import CAMVID_MEAN, CAMVID_STD
-
-        return CAMVID_MEAN, CAMVID_STD
-    from arseg_tpu.data.cityscapes import MEANS
-
-    return MEANS["bisenet" if "bise" in backend else "pspnet"]
-
-
-def _run_video(args, pipe, hr_params, ar_params):
-    """Direct video serving: frames from the HEVC bitstream, MVs from the
-    H.264 carrier, decoded + merged in memory (gop/video_source.py) — no
-    PNG/bin files anywhere on the input side."""
+def _serve_gops(args, pipe, hr_params, ar_params, source, names):
+    """The single-stream serve loop shared by the file-based and --video
+    paths: pipelined GOPFeeder in, AsyncWriter out. `names`: per-frame
+    output names, or None to index-name (video sources have no input
+    files)."""
     import jax.numpy as jnp
 
     from arseg_tpu.gop.feeder import AsyncWriter, GOPFeeder
-    from arseg_tpu.gop.video_source import VideoGOPSource
     from arseg_tpu.utils.profiling import StepTimer
 
     g = args.ref_gap
-    mean, std = _backend_norm(args.backend)
-    src = VideoGOPSource(args.video, args.mv_carrier, g, mean, std,
-                         device_normalize=True)
+    # pipelined serving: worker threads decode and stage GOPs on device
+    # `--prefetch` ahead; a writer thread handles D2H + PNG encode — host
+    # IO overlaps device compute both ways (gop/feeder.py). With
+    # gop_batch>1 each staged item is a [B,...] stack (~gop_batch x the
+    # HBM), so staging depth is held at 1.
     feeder = GOPFeeder(
-        src, g, num_workers=args.io_workers,
+        source, g, num_workers=args.io_workers,
         depth=max(1, args.prefetch if args.gop_batch == 1 else 1),
         stage=args.prefetch > 0,
         gop_batch=args.gop_batch,
@@ -197,11 +162,15 @@ def _run_video(args, pipe, hr_params, ar_params):
         with timer.step(n_frames):
             preds = pipe(hr_params, ar_params, jnp.asarray(keyframe),
                          jnp.asarray(frames), flows)
-            np.asarray(preds[(0,) * preds.ndim])  # one-elt sync (bench.py)
-        writer.put(preds.reshape(-1, *preds.shape[-2:]),
-                   [f"{i:05d}" for i in range(gi * g, gi * g + n_frames)])
+            np.asarray(preds[(0,) * preds.ndim])  # one-elt sync (axon-safe, see bench.py)
+        nm = (names[gi * g : gi * g + n_frames] if names is not None
+              else [f"{i:05d}" for i in range(gi * g, gi * g + n_frames)])
+        writer.put(preds.reshape(-1, *preds.shape[-2:]), nm)
         total += n_frames
     writer.close()
+    if total == 0:
+        raise SystemExit(
+            f"no full GOP in the input (< --ref_gap {g} frames?)")
     s = timer.summary()
     rate = (
         f"{s['frames_per_sec']:.1f} frames/sec"
@@ -209,6 +178,18 @@ def _run_video(args, pipe, hr_params, ar_params):
         else f"single GOP incl. compile: {s['mean_ms'] / 1e3:.1f}s"
     )
     print(f"{total} frames -> {args.out_dir}  ({rate})")
+
+
+def _backend_norm(backend):
+    """Normalization constants of the backend's training dataset."""
+    backend = backend.lower()  # build_model lowercases its key too
+    if backend.startswith("camvid"):
+        from arseg_tpu.data.camvid import CAMVID_MEAN, CAMVID_STD
+
+        return CAMVID_MEAN, CAMVID_STD
+    from arseg_tpu.data.cityscapes import MEANS
+
+    return MEANS["bisenet" if "bise" in backend else "pspnet"]
 
 
 def _run_streams(args, pipe, hr_params, ar_params, flow_shape):
@@ -235,14 +216,22 @@ def _run_streams(args, pipe, hr_params, ar_params, flow_shape):
             raise SystemExit(f"bad --streams entry {':'.join(spec)!r} "
                              "(want data_dir:flow_dir[:ref_dir], or "
                              "video.hevc:carrier.264)")
-        if len(spec) == 2 and os.path.isfile(spec[0]):
+        looks_video = spec[0].lower().endswith(
+            (".hevc", ".265", ".264", ".h264", ".mp4", ".bin"))
+        if len(spec) == 2 and (looks_video or os.path.isfile(spec[0])):
             # direct-video stream (gop/video_source.py). Host-side
             # normalize here: file and video streams stack into ONE batch,
             # so every stream must contribute the same (f32) dtype.
+            missing = [f for f in spec if not os.path.isfile(f)]
+            if missing:
+                raise SystemExit(f"video stream file(s) not found: {missing}")
             from arseg_tpu.gop.video_source import VideoGOPSource
 
             mean, std = _backend_norm(args.backend)
-            datasets.append(VideoGOPSource(spec[0], spec[1], g, mean, std))
+            n_streams = len(specs)
+            datasets.append(VideoGOPSource(
+                spec[0], spec[1], g, mean, std,
+                merge_threads=max(1, (os.cpu_count() or 1) // n_streams)))
             continue
         data_dir, flow_dir = spec[0], spec[1]
         ref_dir = spec[2] if len(spec) == 3 else data_dir
@@ -309,6 +298,9 @@ def _run_streams(args, pipe, hr_params, ar_params, flow_shape):
             writers[k].put(preds[k], nm)
     for w in writers:
         w.close()
+    if n_gops == 0:
+        raise SystemExit(
+            f"no full GOP served — every stream needs >= --ref_gap {g} frames")
     s = timer.summary()
     rate = (
         f"{s['frames_per_sec']:.1f} frames/sec"

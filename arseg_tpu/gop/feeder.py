@@ -125,28 +125,57 @@ class GOPFeeder:
     def _seq_host_iter(self):
         """Drive a sequential source's iter_gops() on one producer thread,
         `depth + num_workers` GOP items of look-ahead (matching the
-        random-access path's host memory bound)."""
+        random-access path's host memory bound). Abandoning the iteration
+        early (e.g. zip over streams of unequal length) stops the producer
+        and closes the source generator, releasing its decode threads."""
         q = queue.Queue(maxsize=self.depth + self.num_workers)
         done = object()
+        stop = threading.Event()
+
+        def put(item):
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
-                for item in self.dataset.iter_gops():
-                    q.put(item)
-                q.put(done)
+                it = self.dataset.iter_gops()
+                try:
+                    for item in it:
+                        if not put(item):
+                            return
+                finally:
+                    # closing the generator runs its finally (stops
+                    # VideoGOPSource's decode threads)
+                    if hasattr(it, "close"):
+                        it.close()
+                put(done)
             except Exception as e:  # surface in consumer
-                q.put(e)
+                if not stop.is_set():
+                    q.put(e)
 
         threading.Thread(target=producer, daemon=True).start()
         gi = 0
-        while True:
-            item = q.get()
-            if item is done:
-                return
-            if isinstance(item, Exception):
-                raise item
-            yield gi, item
-            gi += 1
+        try:
+            while True:
+                item = q.get()
+                if item is done:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield gi, item
+                gi += 1
+        finally:
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
 
     def _batched_iter(self):
         """Group consecutive GOPs into [B, ...] stacks (full stacks only;

@@ -318,12 +318,14 @@ class ARPipeline:
 
         @jax.jit
         def key_step(hr_params, keyframe):
+            keyframe = self._maybe_normalize(keyframe)
             out = _as_tuple(self.hr_model.apply(hr_params, keyframe))
             logits = resize_bilinear(out[0], keyframe.shape[1:3], align_corners=True)
             return jnp.argmax(logits, axis=-1).astype(jnp.int32), out[-1]
 
         @jax.jit
         def frame_step(lr_params, ref_feat, frame, flow):
+            frame = self._maybe_normalize(frame)
             f = scale_and_resize_flow(flow, ref_feat.shape[1:3], mode="bilinear", split=True)
             h, w = frame.shape[1:3]
             x = resize_bilinear(frame, (int(h * self.scale), int(w * self.scale)),

@@ -21,6 +21,10 @@ chain-merged per GOP in memory (`arsegvid_merge_mv`) — no intermediate
 file, no PNG codec anywhere. RGB bytes are identical to the
 `decoded-%03d.png` artifacts (same swscale conversion, byte-for-byte;
 tests/test_video_source.py), so eval numbers are unaffected.
+
+The merge parallelizes rows with OpenMP; hosts running many feeder
+workers / streams should bound the team via `merge_threads` (~cores /
+streams) to avoid oversubscription.
 """
 
 import queue
@@ -41,7 +45,8 @@ class VideoGOPSource:
     """
 
     def __init__(self, hevc_path, carrier_path, ref_gap, mean, std,
-                 native=None, lookahead=2, device_normalize=False):
+                 native=None, lookahead=2, device_normalize=False,
+                 merge_threads=0):
         if native is None:
             from arseg_tpu.tools.video import load_native
 
@@ -62,67 +67,113 @@ class VideoGOPSource:
         # broadcasting (~0.7 s/GOP at 720x960 single-core) and H2D moves
         # 4x fewer bytes; device math is bitwise-identical (pipeline.py)
         self.device_normalize = bool(device_normalize)
+        # merge_threads bounds the chain-merge's row-parallel OpenMP team
+        # (0 = all cores); hosts serving several streams/workers should
+        # pass ~cores/streams so concurrent merges don't oversubscribe
+        self.merge_threads = int(merge_threads)
 
-    def _decode_thread(self, decode_fn, path, out_q):
+    class _Abort(Exception):
+        """Internal: consumer abandoned the iteration; unwind the decode."""
+
+    _EOS = object()
+
+    def _decode_thread(self, decode_fn, path, out_q, stop):
         """Run a native callback decode, pushing per-GOP lists of frame
-        copies; None terminates, an Exception propagates."""
+        copies; _EOS terminates, an Exception propagates. `stop` aborts the
+        native decode from inside its callback (return <0) so an abandoned
+        iteration releases decoder contexts and buffered GOPs instead of
+        blocking forever on the bounded queue."""
         g = self.g
         acc = []
+
+        def put(item):
+            while True:
+                if stop.is_set():
+                    raise VideoGOPSource._Abort()
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return
+                except queue.Full:
+                    continue
 
         def on_frame(idx, arr):
             acc.append(arr.copy())
             if len(acc) == g:
-                out_q.put(list(acc))
+                put(list(acc))
                 acc.clear()
 
         try:
             decode_fn(path, on_frame)
-            out_q.put(None)  # EOS (partial tail in `acc` is dropped)
+            put(self._EOS)  # (partial tail in `acc` is dropped)
+        except VideoGOPSource._Abort:
+            pass
         except Exception as e:  # pragma: no cover - surfaced in iter_gops
-            out_q.put(e)
+            if not stop.is_set():
+                out_q.put(e)
 
     def iter_gops(self):
         frame_q = queue.Queue(maxsize=self.lookahead)
         mv_q = queue.Queue(maxsize=self.lookahead)
+        stop = threading.Event()
         threads = [
             threading.Thread(
                 target=self._decode_thread,
-                args=(self.native.decode_frames_cb, self.hevc_path, frame_q),
+                args=(self.native.decode_frames_cb, self.hevc_path, frame_q, stop),
                 daemon=True,
             ),
             threading.Thread(
                 target=self._decode_thread,
-                args=(self.native.decode_mvs_cb, self.carrier_path, mv_q),
+                args=(self.native.decode_mvs_cb, self.carrier_path, mv_q, stop),
                 daemon=True,
             ),
         ]
         for t in threads:
             t.start()
-        while True:
-            frames = frame_q.get()
-            mvs = mv_q.get()
-            for item in (frames, mvs):
-                if isinstance(item, Exception):
-                    raise item
-            if frames is None or mvs is None:
-                if (frames is None) != (mvs is None):
-                    raise RuntimeError(
-                        "frame/carrier stream GOP counts differ — encode both "
-                        "from the same frames with the same --ref_gap"
-                    )
-                return
-            if self.device_normalize:
-                imgs = np.stack(frames)  # uint8, normalized on device
-            else:
-                # exactly data/transform.py:normalize (/ std, not * inv)
-                imgs = (np.stack(frames).astype(np.float32) / 255.0 - self.mean) / self.std
-            # chain-merge this GOP's MV maps (frames key+1..key+G-1) into
-            # keyframe displacements; bins carry qpel int16, flow is px
-            merged = self.native.merge_mv(np.stack(mvs[1:]), max_ref=self.g)
-            flow = merged[1:].astype(np.float32) / 4.0
-            yield (
-                imgs[:1],
-                imgs[1:],
-                np.ascontiguousarray(flow[..., 0]),
-                np.ascontiguousarray(flow[..., 1]),
-            )
+        try:
+            first = True
+            while True:
+                frames = frame_q.get()
+                mvs = mv_q.get()
+                for item in (frames, mvs):
+                    if isinstance(item, Exception):
+                        raise item
+                if frames is self._EOS or mvs is self._EOS:
+                    if (frames is self._EOS) != (mvs is self._EOS):
+                        raise RuntimeError(
+                            "frame/carrier stream GOP counts differ — encode "
+                            "both from the same frames with the same --ref_gap"
+                        )
+                    return
+                if first:
+                    first = False
+                    if frames[0].shape[:2] != mvs[0].shape[:2]:
+                        raise RuntimeError(
+                            f"frame/carrier resolutions differ: frames "
+                            f"{frames[0].shape[:2]} vs MV maps "
+                            f"{mvs[0].shape[:2]} — wrong --mv_carrier?"
+                        )
+                if self.device_normalize:
+                    imgs = np.stack(frames)  # uint8, normalized on device
+                else:
+                    # exactly data/transform.py:normalize (/ std, not * inv)
+                    imgs = (np.stack(frames).astype(np.float32) / 255.0 - self.mean) / self.std
+                # chain-merge this GOP's MV maps (frames key+1..key+G-1)
+                # into keyframe displacements; bins are qpel int16, flow px
+                merged = self.native.merge_mv(
+                    np.stack(mvs[1:]), max_ref=self.g,
+                    threads=self.merge_threads)
+                flow = merged[1:].astype(np.float32) / 4.0
+                yield (
+                    imgs[:1],
+                    imgs[1:],
+                    np.ascontiguousarray(flow[..., 0]),
+                    np.ascontiguousarray(flow[..., 1]),
+                )
+        finally:
+            stop.set()
+            for q in (frame_q, mv_q):  # unblock producers promptly
+                try:
+                    while True:
+                        q.get_nowait()
+                except queue.Empty:
+                    pass

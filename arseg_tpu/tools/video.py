@@ -70,9 +70,10 @@ class NativeVideo:
         lib.arsegvid_decode_mvs_cb.argtypes = [
             ctypes.c_char_p, self._MV_CB, ctypes.c_void_p,
         ]
-        lib.arsegvid_merge_mv.argtypes = [
+        lib.arsegvid_merge_mv_mt.argtypes = [
             ctypes.POINTER(ctypes.c_int16), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int16),
+            ctypes.c_int,
         ]
         lib.arsegvid_gop_pipeline.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_char_p,
@@ -107,12 +108,11 @@ class NativeVideo:
         return self._check(self._lib.arsegvid_mvdump(
             os.fspath(bitstream_path).encode(), os.fspath(out_dir).encode()))
 
-    def decode_frames_cb(self, bitstream_path, on_frame):
-        """In-memory decode: calls `on_frame(idx, rgb)` per frame with a
-        uint8 [h, w, 3] array VIEW valid only inside the callback (copy to
-        keep). Returns the frame count. No PNG round trip — the RGB bytes
-        are identical to the decoded-%03d.png artifacts (same swscale
-        conversion)."""
+    def _decode_cb(self, native_fn, cbtype, bitstream_path, on_frame):
+        """Shared callback-decode driver: `on_frame(idx, arr)` gets an
+        array VIEW valid only inside the callback (copy to keep); a raised
+        exception aborts the native decode and re-raises here. Returns the
+        frame count."""
         err = []
 
         def _cb(_user, idx, w, h, ptr):
@@ -124,42 +124,36 @@ class NativeVideo:
                 err.append(e)
                 return -1
 
-        ret = self._lib.arsegvid_decode_frames_cb(
-            os.fspath(bitstream_path).encode(), self._RGB_CB(_cb), None)
+        ret = native_fn(os.fspath(bitstream_path).encode(), cbtype(_cb), None)
         if err:
             raise err[0]
         return self._check(ret)
+
+    def decode_frames_cb(self, bitstream_path, on_frame):
+        """In-memory decode: `on_frame(idx, rgb)` per frame, uint8
+        [h, w, 3]. No PNG round trip — the RGB bytes are identical to the
+        decoded-%03d.png artifacts (same swscale conversion)."""
+        return self._decode_cb(self._lib.arsegvid_decode_frames_cb,
+                               self._RGB_CB, bitstream_path, on_frame)
 
     def decode_mvs_cb(self, bitstream_path, on_frame):
-        """In-memory MV dump: calls `on_frame(idx, mv3)` per frame (EVERY
-        frame — keyframes get the all-intra map) with an int16 [h, w, 3]
-        view (copy to keep). Returns the frame count."""
-        err = []
+        """In-memory MV dump: `on_frame(idx, mv3)` per frame (EVERY frame —
+        keyframes get the all-intra map), int16 [h, w, 3]."""
+        return self._decode_cb(self._lib.arsegvid_decode_mvs_cb,
+                               self._MV_CB, bitstream_path, on_frame)
 
-        def _cb(_user, idx, w, h, ptr):
-            try:
-                arr = np.ctypeslib.as_array(ptr, shape=(h, w, 3))
-                on_frame(idx, arr)
-                return 0
-            except Exception as e:
-                err.append(e)
-                return -1
-
-        ret = self._lib.arsegvid_decode_mvs_cb(
-            os.fspath(bitstream_path).encode(), self._MV_CB(_cb), None)
-        if err:
-            raise err[0]
-        return self._check(ret)
-
-    def merge_mv(self, bins, max_ref=3):
+    def merge_mv(self, bins, max_ref=3, threads=0):
         """bins: int16 [n_frames, h, w, 3] (frames 1..n). Returns int16
-        [n_frames + 1, h, w, 2] merged qpel keyframe displacement maps."""
+        [n_frames + 1, h, w, 2] merged qpel keyframe displacement maps.
+        threads bounds the row-parallel OpenMP team (0 = library default);
+        pass ~cores/workers when merging from several worker threads."""
         bins = np.ascontiguousarray(bins, dtype=np.int16)
         n, h, w, _ = bins.shape
         out = np.empty((n + 1, h, w, 2), dtype=np.int16)
-        self._check(self._lib.arsegvid_merge_mv(
+        self._check(self._lib.arsegvid_merge_mv_mt(
             bins.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n, h, w,
-            max_ref, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))))
+            max_ref, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            int(threads)))
         return out
 
     def gop_pipeline(self, image_paths, out_dir, fps=30, bitrate_kbps=3000,

@@ -11,6 +11,10 @@ extern "C" {
 #include <libswscale/swscale.h>
 }
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 #include <cmath>
 #include <cstdio>
 #include <cstring>
@@ -425,6 +429,12 @@ extern "C" int arsegvid_decode_mvs_cb(const char *bitstream_path,
 
 extern "C" int arsegvid_merge_mv(const int16_t *bins, int n_frames, int h,
                                  int w, int max_ref, int16_t *out) {
+  return arsegvid_merge_mv_mt(bins, n_frames, h, w, max_ref, out, 0);
+}
+
+extern "C" int arsegvid_merge_mv_mt(const int16_t *bins, int n_frames, int h,
+                                    int w, int max_ref, int16_t *out,
+                                    int n_threads) {
   if (n_frames < 0 || h <= 0 || w <= 0) return fail("bad merge dims");
   size_t plane = (size_t)h * w;
   /* anc[f][p] = packed (x, y) keyframe-ancestor coordinate of pixel p in
@@ -444,6 +454,16 @@ extern "C" int arsegvid_merge_mv(const int16_t *bins, int n_frames, int h,
     const int16_t *bin = bins + (size_t)(f1 - 1) * plane * 3;
     anc[f1].resize(plane * 2);
     int16_t *dst = out + (size_t)f1 * plane * 2;
+    /* the DP is sequential across frames but each pixel of frame f1 only
+     * READS anc[<f1] and WRITES its own anc[f1][p]/dst[p] — rows
+     * parallelize cleanly (the host-side serving bottleneck at ~163
+     * ms/GOP/core, tools_bench_feeder_host.py). n_threads bounds the team
+     * so callers running one merge per stream/worker don't oversubscribe
+     * (0 = OpenMP default). */
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) \
+    num_threads(n_threads > 0 ? n_threads : omp_get_max_threads())
+#endif
     for (int y = 0; y < h; y++) {
       for (int x = 0; x < w; x++) {
         size_t p = (size_t)y * w + x;

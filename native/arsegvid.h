@@ -78,6 +78,12 @@ int arsegvid_decode_mvs_cb(const char *bitstream_path, arsegvid_mv_cb cb,
 int arsegvid_merge_mv(const int16_t *bins, int n_frames, int h, int w,
                       int max_ref, int16_t *out);
 
+/* As arsegvid_merge_mv with an explicit OpenMP team bound for the
+ * row-parallel inner loop (0 = library default): callers running one
+ * merge per stream/worker thread should pass ~cores/workers. */
+int arsegvid_merge_mv_mt(const int16_t *bins, int n_frames, int h, int w,
+                         int max_ref, int16_t *out, int n_threads);
+
 /* One-call GOP pipeline (the hot path of dataset generation): encode
  * `image_paths` with libx265 -> decode to `decoded-%03d.png` under
  * out_dir; encode with libx264 -> dump + merge MVs to

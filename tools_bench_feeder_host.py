@@ -72,6 +72,10 @@ def main():
     from arseg_tpu.gop.video_source import VideoGOPSource
 
     native = load_native()
+    if native is None:
+        print("native lib unavailable (make -C native failed) — skipping "
+              "the video-source half", flush=True)
+        return
     paths = [f"{ROOT}/decoded/{i:05d}.png" for i in range(N_GOPS * G)]
     native.encode(paths, f"{ROOT}/s.hevc", codec="libx265", gop=G,
                   bitrate_kbps=3000)

@@ -68,12 +68,50 @@ def run(tag, extra):
         print(r.stderr[-500:], flush=True)
 
 
+def encode_streams():
+    """Compressed streams for the --video mode (same frames)."""
+    from arseg_tpu.tools.video import load_native
+
+    native = load_native()
+    paths = [f"{ROOT}/decoded/{i:05d}.png" for i in range(N_GOPS * G)]
+    native.encode(paths, f"{ROOT}/s.hevc", codec="libx265", gop=G,
+                  bitrate_kbps=3000)
+    native.encode(paths, f"{ROOT}/s.264", codec="libx264", gop=G,
+                  bitrate_kbps=3000)
+
+
+def run_video(tag, extra):
+    out = f"{ROOT}/out_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    r = subprocess.run(
+        [sys.executable, "-m", "arseg_tpu.cli.infer_video",
+         "--video", f"{ROOT}/s.hevc", "--mv_carrier", f"{ROOT}/s.264",
+         "--out_dir", out, "--hr_snapshot", f"{ROOT}/hr.ckpt",
+         "--ar_snapshot", f"{ROOT}/ar.ckpt", "--backend", "camvid-bise18",
+         "--ref_gap", str(G)] + extra,
+        cwd="/root/repo", capture_output=True, text=True, timeout=3600,
+    )
+    wall = time.perf_counter() - t0
+    line = (r.stdout.strip().splitlines() or ["<no output>"])[-1]
+    print(f"{tag:14s} wall {wall:7.1f}s  | {line}", flush=True)
+    if r.returncode:
+        print(r.stderr[-500:], flush=True)
+
+
 if __name__ == "__main__":
     gen()
     ckpts()
+    encode_streams()
     # serial first (also pays the compile); then pipelined (warm cache)
     run("prefetch0", ["--prefetch", "0"])
     run("prefetch2", ["--prefetch", "2", "--io_workers", "4"])
     run("gop_batch8", ["--prefetch", "2", "--io_workers", "4",
                        "--gop_batch", "8"])
+    # direct video serving: decode HEVC + carrier in-process, raw uint8 to
+    # the device (note: the uint8 feed is a NEW program shape -> one cold
+    # compile here; the PNG runs above reuse the warmed f32 cache)
+    run_video("video", ["--prefetch", "2", "--io_workers", "2"])
+    run_video("video_batch8", ["--prefetch", "2", "--io_workers", "2",
+                               "--gop_batch", "8"])
     print("DONE", flush=True)

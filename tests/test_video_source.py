@@ -172,3 +172,39 @@ def test_device_normalize_matches_host(streams):
         p_host = pipe(hrp, arp, jnp.asarray(kf_h), jnp.asarray(fr_h), (fx, fy))
         p_raw = pipe(hrp, arp, jnp.asarray(kf_u), jnp.asarray(fr_u), (fx, fy))
         np.testing.assert_array_equal(np.asarray(p_host), np.asarray(p_raw))
+
+
+@needs_native
+def test_abandoned_iteration_stops_decode_threads(streams):
+    """Breaking out of iter_gops early (e.g. zip over unequal streams) must
+    stop both decode threads — closing the generator aborts the native
+    decodes from their callbacks instead of leaking blocked producers."""
+    import threading
+    import time
+
+    from arseg_tpu.gop.video_source import VideoGOPSource
+
+    root, hevc, carrier, dec, mv = streams
+    before = threading.active_count()
+    src = VideoGOPSource(hevc, carrier, GAP, MEAN, STD, lookahead=1)
+    it = src.iter_gops()
+    next(it)
+    it.close()  # what `for`-loop exit / GC does
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "decode threads leaked"
+
+    # same through the GOPFeeder sequential driver
+    from arseg_tpu.gop.feeder import GOPFeeder
+
+    before = threading.active_count()
+    feeder = iter(GOPFeeder(
+        VideoGOPSource(hevc, carrier, GAP, MEAN, STD, lookahead=1),
+        GAP, stage=False))
+    next(feeder)
+    feeder.close()
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "feeder producer leaked"

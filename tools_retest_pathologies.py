@@ -71,6 +71,26 @@ print("OK loss", float(out[2]["loss"]))
 """
 
 
+CASE_FUSED_HEAD = """
+import sys; sys.path.insert(0, "/root/repo")
+import numpy as np, jax, jax.numpy as jnp
+from arseg_tpu.utils.compile_cache import enable_compile_cache
+from arseg_tpu.ops.pallas_creff import creff_phase2_upsample_argmax
+enable_compile_cache()
+# production bise18 head shape: [1,90,120,128-lane] fusion, 12 classes, x8 up
+c, ncls = 128, 12
+rng = np.random.RandomState(0)
+lr_up = jnp.asarray(rng.randn(1, 90, 120, c).astype(np.float32))
+ref = jnp.asarray(rng.randn(1, 90, 120, c).astype(np.float32))
+convs = [{"weight": jnp.asarray(rng.randn(3, 3, 1, c).astype(np.float32)),
+          "bias": jnp.asarray(rng.randn(c).astype(np.float32))} for _ in range(3)]
+fc = {"weight": jnp.asarray(rng.randn(1, 1, c, ncls).astype(np.float32)),
+      "bias": jnp.asarray(rng.randn(ncls).astype(np.float32))}
+out = creff_phase2_upsample_argmax(lr_up, ref, *convs, fc, 7, 7, 8)
+print("OK", np.asarray(out[(0, 0, 0)]))
+"""
+
+
 def run(tag, code):
     t0 = time.perf_counter()
     try:
@@ -93,4 +113,8 @@ def run(tag, code):
 if __name__ == "__main__":
     run("lr_chunk2-bise18", CASE_LR_CHUNK)
     run("batch8-phase1-psp18", CASE_BATCH8_TRAIN)
+    # Mosaic 0.9 rejects the channel-major head dot ("unsupported shape
+    # cast", nn/bisenet.py:forward_phase2_argmax docstring). PASS here =>
+    # flip USE_FUSED_UPSAMPLE_HEAD on and re-measure the head delta.
+    run("fused-bise18-head", CASE_FUSED_HEAD)
     print("DONE", flush=True)

@@ -51,6 +51,12 @@ def main(argv=None):
     p.add_argument("--num_devices", type=int, default=None,
                    help="mesh size for --streams (default: all devices that "
                         "divide the stream count)")
+    p.add_argument("--gop_devices", type=int, default=None,
+                   help="latency scale-out for ONE stream: shard the GOP's "
+                        "non-key frames over an N-device mesh "
+                        "(ARPipeline.gop_parallel_step; keyframe branch "
+                        "replicated). Mutually exclusive with --gop_batch/"
+                        "--streams.")
     p.add_argument("--video", default=None,
                    help="serve DIRECTLY from a compressed HEVC bitstream "
                         "(frames decoded in-process, no PNG intermediary); "
@@ -101,10 +107,20 @@ def main(argv=None):
                     "(streams batch across the mesh instead)")
         if args.video or args.mv_carrier:
             p.error("--video serves one stream; use --streams OR --video")
+        if args.gop_devices:
+            p.error("--streams and --gop_devices are mutually exclusive "
+                    "(shard streams over the mesh OR one stream's frames)")
         _run_streams(args, pipe, hr_params, ar_params, flow_shape)
         return
     if args.gop_batch > 1 and args.lr_chunk > 1:
         p.error("--gop_batch requires the default lr_chunk=1 (batched phase 1)")
+    if args.gop_devices:
+        if args.gop_batch > 1:
+            p.error("--gop_devices and --gop_batch are mutually exclusive "
+                    "(frame-parallel latency mode vs multi-GOP throughput)")
+        from arseg_tpu.parallel import data_mesh
+
+        pipe = pipe.gop_parallel_step(data_mesh(args.gop_devices))
     if args.video or args.mv_carrier:
         if not (args.video and args.mv_carrier):
             p.error("--video and --mv_carrier go together")

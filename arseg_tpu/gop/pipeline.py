@@ -310,6 +310,63 @@ class ARPipeline:
         )
         return jax.jit(fn)
 
+    def gop_parallel_step(self, mesh):
+        """Latency scale-out for ONE stream: the GOP's non-key frames shard
+        over the mesh's 1-D 'data' axis, each device running phase 1 +
+        warp/CReFF/head on its local frames. Every device computes the
+        (identical) HR keyframe branch on the replicated keyframe — that
+        costs no more wall time than waiting for one device to compute and
+        broadcast it, and keeps the program collective-free until the
+        output gather. With 8 devices a camvid-bise18 GOP goes from 11
+        fuse iterations to 2 per device: per-GOP latency ~ HR forward +
+        ceil((G-1)/n) x per-frame fuse + the [G-1,H,W] int32 gather.
+
+        Complements sharded_step (throughput: S independent streams, no
+        cross-device traffic) — this one spends the same mesh on the
+        latency of a single stream.
+
+        Returns a jitted fn with ARPipeline.__call__'s single-GOP
+        signature: (hr_params, lr_params, keyframe [1,H,W,3],
+        frames [G-1,H,W,3], flows (fx, fy) [G-1,Hf,Wf]) -> preds [G,H,W].
+        G-1 is zero-padded to a multiple of the mesh size internally; the
+        pad frames' predictions are dropped."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        n = mesh.devices.size
+
+        def local(hp, lp, kf, fr, fx, fy):
+            out = self._gop_step(hp, lp, kf, fr, (fx, fy))
+            # the keyframe row is computed identically on every device from
+            # the replicated keyframe, but the concat inside _gop_step makes
+            # it device-varying to shard_map's replication checker — return
+            # it sharded ([n,H,W] of identical copies) and slice one outside
+            return out[:1], out[1:]
+
+        sharded = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P("data"), P("data"), P("data")),
+            out_specs=(P("data"), P("data")),
+        )
+
+        def fn(hr_params, lr_params, keyframe, frames, flows):
+            if isinstance(flows, tuple):
+                fx, fy = flows
+            else:
+                fx, fy = flows[..., 0], flows[..., 1]
+            g1 = frames.shape[0]
+            pad = (-g1) % n
+            frames_p = jnp.pad(frames, ((0, pad),) + ((0, 0),) * (frames.ndim - 1))
+            fx_p = jnp.pad(fx, ((0, pad), (0, 0), (0, 0)))
+            fy_p = jnp.pad(fy, ((0, pad), (0, 0), (0, 0)))
+            key, fr_preds = sharded(
+                hr_params, lr_params, keyframe, frames_p, fx_p, fy_p
+            )
+            return jnp.concatenate([key[:1], fr_preds[:g1]], axis=0).astype(jnp.int32)
+
+        return jax.jit(fn)
+
     def streaming_step(self):
         """Frame-at-a-time variant (latency mode): returns jitted fns
         (key_step, frame_step) with the keyframe feature threaded as state,

@@ -179,3 +179,29 @@ def test_bf16_mode_runs_and_mostly_agrees(setup):
     assert b16.shape == f32.shape and b16.dtype == np.int32
     # bf16 flips only a small fraction of argmax decisions on random weights
     assert np.mean(b16 == f32) > 0.9
+
+
+def test_gop_parallel_matches_single_device():
+    """gop_parallel_step (non-key frames sharded over the mesh, keyframe
+    branch replicated) must reproduce the single-device GOP program's class
+    maps exactly, including the non-divisible G-1 zero-pad path."""
+    from arseg_tpu.parallel import data_mesh
+
+    hr = build_model("camvid-psp18", fuse=False)
+    lr = build_model("camvid-psp18", fuse=True)
+    hrp = hr.init(jax.random.PRNGKey(0))
+    lrp = lr.init(jax.random.PRNGKey(1))
+    pipe = ARPipeline(hr, lr, scale=0.5)
+
+    h, w, g1 = 48, 64, 6  # 6 frames over 4 devices -> pad to 8
+    rng = np.random.RandomState(5)
+    kf = jnp.asarray(rng.randn(1, h, w, 3).astype(np.float32))
+    fr = jnp.asarray(rng.randn(g1, h, w, 3).astype(np.float32))
+    fx = jnp.asarray(rng.uniform(-4, 4, (g1, h, w)).astype(np.float32))
+    fy = jnp.asarray(rng.uniform(-4, 4, (g1, h, w)).astype(np.float32))
+
+    want = np.asarray(pipe(hrp, lrp, kf, fr, (fx, fy)))
+    mesh = data_mesh(4)
+    pstep = pipe.gop_parallel_step(mesh)
+    got = np.asarray(pstep(hrp, lrp, kf, fr, (fx, fy)))
+    np.testing.assert_array_equal(got, want)

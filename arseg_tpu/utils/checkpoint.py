@@ -47,6 +47,7 @@ def save_checkpoint(path, params, metadata=None, opt_state=None):
         leaves = jax.tree_util.tree_leaves(opt_state)
         for i, leaf in enumerate(leaves):
             flat[f"__opt__/{i}"] = np.asarray(leaf)
+    path = os.fspath(path)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez(path, **flat)
     meta_path = os.path.splitext(path)[0] + ".json"
@@ -55,6 +56,7 @@ def save_checkpoint(path, params, metadata=None, opt_state=None):
 
 
 def load_checkpoint(path, opt_state_template=None):
+    path = os.fspath(path)
     data = np.load(path if path.endswith(".npz") else path + ".npz")
     flat = {k: data[k] for k in data.files if not k.startswith("__opt__/")}
     tree = _unflatten(flat)

@@ -124,6 +124,99 @@ def convert_state_dict(state_dict, backend: str | None = None):
     return tree
 
 
+# the reference registers these module OBJECTS under two attribute paths
+# (`pspnet_semseg.py:169` final_conv = cls[-1]; `bisenet.py:428-429`
+# feat_conv_out/final_conv = conv_out.conv/.conv_out), so its state_dicts
+# carry both names; import dedupes to one tree node, export re-emits every
+# registered path so strict torch loads pass
+SHARED_EXPORT = {
+    "cityscapes-psp18": {"cls.4": ("final_conv", "cls.4")},
+    "camvid-bise18": {
+        "conv_out.conv": ("feat_conv_out", "conv_out.conv"),
+        "conv_out.conv_out": ("final_conv", "conv_out.conv_out"),
+    },
+}
+SHARED_EXPORT["cityscapes-bise18"] = SHARED_EXPORT["camvid-bise18"]
+
+
+def _invert_leaf(key: str, arr: np.ndarray):
+    leaf = key.rsplit(".", 1)[-1]
+    if leaf == "in_proj_weight":
+        return arr  # kept in torch layout on import
+    if leaf == "weight":
+        if arr.ndim == 4:
+            return arr.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+        if arr.ndim == 2:
+            return arr.transpose(1, 0)  # [in,out] -> [out,in]
+    return arr
+
+
+def export_state_dict(params, backend: str | None = None,
+                      data_parallel: bool = False):
+    """Inverse of convert_state_dict: arseg_tpu param tree -> reference
+    torch state_dict, so models FST-trained here deploy straight back onto
+    the reference's PyTorch stack (train on TPU, serve anywhere).
+
+    Mechanics mirror the import in reverse: conv kernels HWIO -> OIHW,
+    linear weights [in,out] -> [out,in], key aliases/substitutions
+    inverted (longest-target-first), a zero `num_batches_tracked` emitted
+    beside every BatchNorm `running_mean` (torch registers it; its value
+    only matters for momentum=None training), and an optional DataParallel
+    'module.' prefix. Keys the import drops are parameterless in the
+    reference (e.g. bisenet's nn.Upsample `out_upsample`), so
+    `module.load_state_dict(exported, strict=True)` passes — round-trip
+    tested against the unmodified reference models
+    (tests/test_torch_export.py). Returns {key: np.ndarray}; pass through
+    torch.as_tensor / cli/convert.py --to_torch for a .pth."""
+    aliases = ALIASES.get(backend, {}) if backend else {}
+    shared = SHARED_EXPORT.get(backend, {}) if backend else {}
+    inv_aliases = {
+        v: k for k, v in aliases.items() if v is not None and v not in shared
+    }
+    inv_subs = []
+    for pattern, repl in SUBSTITUTIONS.get(backend, []) if backend else []:
+        # the only substitution family is the densenet 'norm.1'->'norm1'
+        # flattening; invert it structurally
+        if pattern == r"(denselayer\d+)\.(norm|conv)\.(\d)\.":
+            inv_subs.append((r"(denselayer\d+)\.(norm|conv)(\d)\.", r"\1.\2.\3."))
+        else:  # pragma: no cover - no other substitution exists
+            raise NotImplementedError(f"cannot invert substitution {pattern}")
+
+    flat = {}
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{prefix}.{k}" if prefix else k)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk(params, "")
+    out = {}
+    for key, arr in flat.items():
+        names = [key]
+        for prefix in sorted(shared, key=len, reverse=True):
+            if key == prefix or key.startswith(prefix + "."):
+                names = [t + key[len(prefix):] for t in shared[prefix]]
+                break
+        else:
+            for prefix in sorted(inv_aliases, key=len, reverse=True):
+                if key == prefix or key.startswith(prefix + "."):
+                    names = [inv_aliases[prefix] + key[len(prefix):]]
+                    break
+        for name in names:
+            for pattern, repl in inv_subs:
+                name = re.sub(pattern, repl, name)
+            out[name] = _invert_leaf(name, arr)
+            if name.endswith(".running_mean"):
+                out[name[: -len("running_mean")] + "num_batches_tracked"] = (
+                    np.zeros((), np.int64)
+                )
+    if data_parallel:
+        out = {f"module.{k}": v for k, v in out.items()}
+    return out
+
+
 def load_torch_checkpoint(path: str, backend: str | None = None):
     import torch
 

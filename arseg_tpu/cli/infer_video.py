@@ -118,8 +118,16 @@ def main(argv=None):
         if args.gop_batch > 1:
             p.error("--gop_devices and --gop_batch are mutually exclusive "
                     "(frame-parallel latency mode vs multi-GOP throughput)")
+        import jax
+
         from arseg_tpu.parallel import data_mesh
 
+        # honor the request exactly — data_mesh would silently clamp to
+        # the available devices (same guard as --num_devices)
+        if args.gop_devices > len(jax.devices()):
+            raise SystemExit(
+                f"--gop_devices {args.gop_devices} > {len(jax.devices())} "
+                "available devices")
         pipe = pipe.gop_parallel_step(data_mesh(args.gop_devices))
     if args.video or args.mv_carrier:
         if not (args.video and args.mv_carrier):

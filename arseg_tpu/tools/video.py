@@ -34,12 +34,21 @@ def build_native(quiet=True):
 
 def load_native(auto_build=True):
     """Load libarsegvid.so (building it first if needed). Returns a
-    NativeVideo or None if the library can't be built/loaded."""
+    NativeVideo or None if the library can't be built/loaded. A stale
+    prebuilt .so missing newer symbols (AttributeError from ctypes) gets
+    one rebuild attempt — make re-links when the sources are newer."""
     if not os.path.exists(_LIB_PATH):
         if not (auto_build and build_native()):
             return None
     try:
         return NativeVideo(_LIB_PATH)
+    except AttributeError:
+        if not (auto_build and build_native()):
+            return None
+        try:
+            return NativeVideo(_LIB_PATH)
+        except (OSError, AttributeError):
+            return None
     except OSError:
         return None
 

@@ -168,6 +168,16 @@ def export_state_dict(params, backend: str | None = None,
     tested against the unmodified reference models
     (tests/test_torch_export.py). Returns {key: np.ndarray}; pass through
     torch.as_tensor / cli/convert.py --to_torch for a .pth."""
+    if backend in ("psp-densenet", "psp-squeezenet"):
+        # the densenet import DROPS the reference's duplicate 'feats.blocks.N'
+        # registrations and flattens the stem Sequential — a strict-loadable
+        # inverse needs the block->name duplication rebuilt; neither ablation
+        # backbone is a deployment target, so refuse rather than emit a
+        # state_dict that fails strict load
+        raise NotImplementedError(
+            f"export_state_dict does not support backend {backend!r} "
+            "(ablation backbones; export the four headline configs)"
+        )
     aliases = ALIASES.get(backend, {}) if backend else {}
     shared = SHARED_EXPORT.get(backend, {}) if backend else {}
     inv_aliases = {

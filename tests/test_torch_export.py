@@ -3,15 +3,15 @@ back into the UNMODIFIED reference PyTorch models with strict=True and
 produce identical tensors — the deploy-back migration path (train on TPU,
 serve on the reference's stack)."""
 
+import os
 import sys
 
 import numpy as np
 import pytest
-import torch
 
 torch = pytest.importorskip("torch")
 
-sys.path.insert(0, "/root/repo/tests")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from reference_oracle import install_reference, ref_state_dict  # noqa: E402
 
 install_reference()
@@ -108,3 +108,10 @@ def test_convert_cli_to_torch_roundtrip(tmp_path):
     assert set(fo) == set(fb)
     for k in fo:
         np.testing.assert_array_equal(fo[k], fb[k], err_msg=k)
+
+
+def test_export_refuses_ablation_backbones():
+    """densenet/squeezenet exports would not strict-load (dropped duplicate
+    registrations) — refuse loudly rather than emit a broken .pth."""
+    with pytest.raises(NotImplementedError, match="psp-densenet"):
+        export_state_dict({}, "psp-densenet")

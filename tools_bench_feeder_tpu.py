@@ -69,15 +69,21 @@ def run(tag, extra):
 
 
 def encode_streams():
-    """Compressed streams for the --video mode (same frames)."""
+    """Compressed streams for the --video mode (same frames). Returns False
+    (skipping the video half) if the native lib is unavailable."""
     from arseg_tpu.tools.video import load_native
 
     native = load_native()
+    if native is None:
+        print("native lib unavailable — skipping the video-serving runs",
+              flush=True)
+        return False
     paths = [f"{ROOT}/decoded/{i:05d}.png" for i in range(N_GOPS * G)]
     native.encode(paths, f"{ROOT}/s.hevc", codec="libx265", gop=G,
                   bitrate_kbps=3000)
     native.encode(paths, f"{ROOT}/s.264", codec="libx264", gop=G,
                   bitrate_kbps=3000)
+    return True
 
 
 def run_video(tag, extra):
@@ -102,7 +108,7 @@ def run_video(tag, extra):
 if __name__ == "__main__":
     gen()
     ckpts()
-    encode_streams()
+    has_video = encode_streams()
     # serial first (also pays the compile); then pipelined (warm cache)
     run("prefetch0", ["--prefetch", "0"])
     run("prefetch2", ["--prefetch", "2", "--io_workers", "4"])
@@ -111,7 +117,8 @@ if __name__ == "__main__":
     # direct video serving: decode HEVC + carrier in-process, raw uint8 to
     # the device (note: the uint8 feed is a NEW program shape -> one cold
     # compile here; the PNG runs above reuse the warmed f32 cache)
-    run_video("video", ["--prefetch", "2", "--io_workers", "2"])
-    run_video("video_batch8", ["--prefetch", "2", "--io_workers", "2",
-                               "--gop_batch", "8"])
+    if has_video:
+        run_video("video", ["--prefetch", "2", "--io_workers", "2"])
+        run_video("video_batch8", ["--prefetch", "2", "--io_workers", "2",
+                                   "--gop_batch", "8"])
     print("DONE", flush=True)

@@ -68,6 +68,46 @@ def main(argv=None):
                         "memory)")
     args = p.parse_args(argv)
 
+    # flag validation BEFORE the expensive model/checkpoint loads
+    if args.gop_batch > 1 and args.lr_chunk > 1:
+        p.error("--gop_batch requires the default lr_chunk=1 (batched phase 1)")
+    if args.streams:
+        if args.gop_batch > 1:
+            p.error("--streams and --gop_batch are mutually exclusive "
+                    "(streams batch across the mesh instead)")
+        if args.video or args.mv_carrier:
+            p.error("--video serves one stream; use --streams OR --video")
+        if args.gop_devices:
+            p.error("--streams and --gop_devices are mutually exclusive "
+                    "(shard streams over the mesh OR one stream's frames)")
+        for s_ in args.streams.split(","):
+            spec = s_.split(":")
+            if _is_video_spec(spec):
+                missing = [f for f in spec if not os.path.isfile(f)]
+                if missing:
+                    raise SystemExit(
+                        f"video stream file(s) not found: {missing}")
+    elif args.video or args.mv_carrier:
+        if not (args.video and args.mv_carrier):
+            p.error("--video and --mv_carrier go together")
+        if args.data_path or args.flow_path:
+            p.error("--video is mutually exclusive with --data_path/--flow_path")
+    elif not (args.data_path and args.flow_path):
+        p.error("--data_path and --flow_path are required unless --streams "
+                "or --video is given")
+    if args.gop_devices:
+        if args.gop_batch > 1:
+            p.error("--gop_devices and --gop_batch are mutually exclusive "
+                    "(frame-parallel latency mode vs multi-GOP throughput)")
+        import jax
+
+        # honor the request exactly — data_mesh would silently clamp to
+        # the available devices (same guard as --num_devices)
+        if args.gop_devices > len(jax.devices()):
+            raise SystemExit(
+                f"--gop_devices {args.gop_devices} > {len(jax.devices())} "
+                "available devices")
+
     import jax.numpy as jnp
 
     from arseg_tpu.data.camvid import CamVidWithFlowTest, FLOW_SHAPE
@@ -102,38 +142,13 @@ def main(argv=None):
     g = args.ref_gap
 
     if args.streams:
-        if args.gop_batch > 1:
-            p.error("--streams and --gop_batch are mutually exclusive "
-                    "(streams batch across the mesh instead)")
-        if args.video or args.mv_carrier:
-            p.error("--video serves one stream; use --streams OR --video")
-        if args.gop_devices:
-            p.error("--streams and --gop_devices are mutually exclusive "
-                    "(shard streams over the mesh OR one stream's frames)")
         _run_streams(args, pipe, hr_params, ar_params, flow_shape)
         return
-    if args.gop_batch > 1 and args.lr_chunk > 1:
-        p.error("--gop_batch requires the default lr_chunk=1 (batched phase 1)")
     if args.gop_devices:
-        if args.gop_batch > 1:
-            p.error("--gop_devices and --gop_batch are mutually exclusive "
-                    "(frame-parallel latency mode vs multi-GOP throughput)")
-        import jax
-
         from arseg_tpu.parallel import data_mesh
 
-        # honor the request exactly — data_mesh would silently clamp to
-        # the available devices (same guard as --num_devices)
-        if args.gop_devices > len(jax.devices()):
-            raise SystemExit(
-                f"--gop_devices {args.gop_devices} > {len(jax.devices())} "
-                "available devices")
         pipe = pipe.gop_parallel_step(data_mesh(args.gop_devices))
-    if args.video or args.mv_carrier:
-        if not (args.video and args.mv_carrier):
-            p.error("--video and --mv_carrier go together")
-        if args.data_path or args.flow_path:
-            p.error("--video is mutually exclusive with --data_path/--flow_path")
+    if args.video:
         mean, std = _backend_norm(args.backend)
         from arseg_tpu.gop.video_source import VideoGOPSource
 
@@ -141,9 +156,6 @@ def main(argv=None):
                              device_normalize=True)
         _serve_gops(args, pipe, hr_params, ar_params, src, names=None)
         return
-    if not (args.data_path and args.flow_path):
-        p.error("--data_path and --flow_path are required unless --streams "
-                "or --video is given")
 
     ds = CamVidWithFlowTest(
         args.data_path, ref_gap=args.ref_gap,
@@ -204,6 +216,16 @@ def _serve_gops(args, pipe, hr_params, ar_params, source, names):
     print(f"{total} frames -> {args.out_dir}  ({rate})")
 
 
+_VIDEO_EXTS = (".hevc", ".265", ".264", ".h264", ".mp4", ".bin")
+
+
+def _is_video_spec(spec):
+    """A 2-element --streams spec naming bitstream files (vs PNG/bin dirs)."""
+    return len(spec) == 2 and (
+        spec[0].lower().endswith(_VIDEO_EXTS) or os.path.isfile(spec[0])
+    )
+
+
 def _backend_norm(backend):
     """Normalization constants of the backend's training dataset."""
     backend = backend.lower()  # build_model lowercases its key too
@@ -240,9 +262,7 @@ def _run_streams(args, pipe, hr_params, ar_params, flow_shape):
             raise SystemExit(f"bad --streams entry {':'.join(spec)!r} "
                              "(want data_dir:flow_dir[:ref_dir], or "
                              "video.hevc:carrier.264)")
-        looks_video = spec[0].lower().endswith(
-            (".hevc", ".265", ".264", ".h264", ".mp4", ".bin"))
-        if len(spec) == 2 and (looks_video or os.path.isfile(spec[0])):
+        if _is_video_spec(spec):
             # direct-video stream (gop/video_source.py). Host-side
             # normalize here: file and video streams stack into ONE batch,
             # so every stream must contribute the same (f32) dtype.

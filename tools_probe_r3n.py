@@ -73,4 +73,25 @@ out_on = np.asarray(pipe_on(hrp, lrp, kf, fr, (fx, fy)))
 agree = (out_off == out_on).mean()
 print(f"delta {1e3*(t_off-t_on):+.2f} ms/GOP; class-map agreement {agree:.6f}",
       flush=True)
+
+# multi-GOP (B=8) A/B — the flag rewrites the fuse inside _multi_gop_step
+# too; its plateau number (bench extra.batch_matched) must be re-validated
+# before flipping the flag on
+B = 8
+kf8 = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32))
+fr8 = jnp.asarray(rng.randn(B, G - 1, H, W, 3).astype(np.float32))
+fx8 = jnp.asarray(rng.uniform(-16, 16, (B, G - 1, H, W)).astype(np.float32))
+fy8 = jnp.asarray(rng.uniform(-16, 16, (B, G - 1, H, W)).astype(np.float32))
+
+attention.USE_FUSED_RESIZE = False
+pipe8_off = ARPipeline(hr_model, lr_model, scale=0.5, dtype=DT)
+t8_off = bench("multiB8=0", pipe8_off, hrp, lrp, kf8, fr8, (fx8, fy8), iters=4)
+attention.USE_FUSED_RESIZE = True
+pipe8_on = ARPipeline(hr_model, lr_model, scale=0.5, dtype=DT)
+print("compiling flag-on multi-GOP program (cold)...", flush=True)
+t8_on = bench("multiB8=1", pipe8_on, hrp, lrp, kf8, fr8, (fx8, fy8), iters=4)
+m_off = np.asarray(pipe8_off(hrp, lrp, kf8, fr8, (fx8, fy8)))
+m_on = np.asarray(pipe8_on(hrp, lrp, kf8, fr8, (fx8, fy8)))
+print(f"multi-GOP delta {1e3*(t8_off-t8_on):+.2f} ms/call; agreement "
+      f"{(m_off == m_on).mean():.6f}", flush=True)
 print("DONE", flush=True)

@@ -302,3 +302,55 @@ def test_infer_video_cli_gop_devices(tmp_path):
         a = np.asarray(Image.open(out1 / name))
         b = np.asarray(Image.open(outn / name))
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_infer_video_cli_video_gop_batch(tmp_path):
+    """--video composed with --gop_batch (uint8 multi-GOP stacks through
+    the device-side normalize) must match the unbatched --video outputs."""
+    from arseg_tpu.tools.video import load_native
+
+    native = load_native()
+    if native is None:
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.RandomState(23)
+    canvas = rng.randint(0, 255, (H, W + 16, 3), np.uint8).astype(np.int32)
+    canvas = (canvas + np.roll(canvas, 1, 0) + np.roll(canvas, 1, 1)) // 3
+    canvas = canvas.astype(np.uint8)
+    srcdir = tmp_path / "src"
+    srcdir.mkdir()
+    paths = []
+    for i in range(N):
+        p = srcdir / f"{i:03d}.png"
+        Image.fromarray(canvas[:, 2 * i : 2 * i + W]).save(p)
+        paths.append(str(p))
+    hevc = str(tmp_path / "s.hevc")
+    carrier = str(tmp_path / "s.264")
+    native.encode(paths, hevc, codec="libx265", gop=GAP, bitrate_kbps=2000)
+    native.encode(paths, carrier, codec="libx264", gop=GAP, bitrate_kbps=2000)
+
+    hr = build_model("camvid-psp18", fuse=False)
+    ar = build_model("camvid-psp18", fuse=True)
+    save_checkpoint(tmp_path / "hr.ckpt", hr.init(jax.random.PRNGKey(0)))
+    save_checkpoint(tmp_path / "ar.ckpt", ar.init(jax.random.PRNGKey(1)))
+    common = [
+        "--video", hevc, "--mv_carrier", carrier,
+        "--hr_snapshot", str(tmp_path / "hr.ckpt"),
+        "--ar_snapshot", str(tmp_path / "ar.ckpt"),
+        "--backend", "camvid-psp18", "--ref_gap", str(GAP),
+        "--dtype", "float32",
+    ]
+
+    from arseg_tpu.cli.infer_video import main
+
+    out1 = tmp_path / "out1"
+    outb = tmp_path / "outb"
+    main(["--out_dir", str(out1)] + common)
+    main(["--out_dir", str(outb), "--gop_batch", "2"] + common)
+    got = sorted(os.listdir(outb))
+    assert got == [f"{i:05d}.png" for i in range(N)]
+    for name in got:
+        a = np.asarray(Image.open(out1 / name))
+        b = np.asarray(Image.open(outb / name))
+        np.testing.assert_array_equal(a, b)

@@ -205,3 +205,30 @@ def test_gop_parallel_matches_single_device():
     pstep = pipe.gop_parallel_step(mesh)
     got = np.asarray(pstep(hrp, lrp, kf, fr, (fx, fy)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_streaming_step_device_normalize():
+    """streaming_step honors ARPipeline(normalize=...): raw uint8 keyframe/
+    frame feeds match the host-normalized f32 feeds exactly."""
+    hr = build_model("camvid-psp18", fuse=False)
+    lr = build_model("camvid-psp18", fuse=True)
+    hrp = hr.init(jax.random.PRNGKey(0))
+    lrp = lr.init(jax.random.PRNGKey(1))
+    mean, std = (0.4, 0.45, 0.5), (0.3, 0.25, 0.2)
+    pipe = ARPipeline(hr, lr, scale=0.5, normalize=(mean, std))
+    key_step, frame_step = pipe.streaming_step()
+
+    h, w = 48, 64
+    rng = np.random.RandomState(9)
+    kf_u8 = rng.randint(0, 255, (1, h, w, 3), np.uint8)
+    fr_u8 = rng.randint(0, 255, (1, h, w, 3), np.uint8)
+    fx = jnp.asarray(rng.uniform(-4, 4, (1, h, w)).astype(np.float32))
+    fy = jnp.asarray(rng.uniform(-4, 4, (1, h, w)).astype(np.float32))
+    norm = lambda x: (x.astype(np.float32) / 255.0 - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+
+    k_u, feat_u = key_step(hrp, jnp.asarray(kf_u8))
+    k_f, feat_f = key_step(hrp, jnp.asarray(norm(kf_u8)))
+    np.testing.assert_array_equal(np.asarray(k_u), np.asarray(k_f))
+    p_u = frame_step(lrp, feat_u, jnp.asarray(fr_u8), (fx, fy))
+    p_f = frame_step(lrp, feat_f, jnp.asarray(norm(fr_u8)), (fx, fy))
+    np.testing.assert_array_equal(np.asarray(p_u), np.asarray(p_f))

@@ -51,6 +51,9 @@ def main(argv=None):
     p.add_argument("--num_devices", type=int, default=None,
                    help="mesh size for --streams (default: all devices that "
                         "divide the stream count)")
+    p.add_argument("--stats_json", default=None,
+                   help="write serving stats (per-dispatch p50/p95/max ms, "
+                        "frames/sec) to this JSON file at exit")
     p.add_argument("--gop_devices", type=int, default=None,
                    help="latency scale-out for ONE stream: shard the GOP's "
                         "non-key frames over an N-device mesh "
@@ -208,6 +211,11 @@ def _serve_gops(args, pipe, hr_params, ar_params, source, names):
         raise SystemExit(
             f"no full GOP in the input (< --ref_gap {g} frames?)")
     s = timer.summary()
+    if args.stats_json:
+        import json
+
+        with open(args.stats_json, "w") as f:
+            json.dump(s, f, indent=2)
     rate = (
         f"{s['frames_per_sec']:.1f} frames/sec"
         if s["steps"] > 1
@@ -346,6 +354,11 @@ def _run_streams(args, pipe, hr_params, ar_params, flow_shape):
         raise SystemExit(
             f"no full GOP served — every stream needs >= --ref_gap {g} frames")
     s = timer.summary()
+    if args.stats_json:
+        import json
+
+        with open(args.stats_json, "w") as f:
+            json.dump(s, f, indent=2)
     rate = (
         f"{s['frames_per_sec']:.1f} frames/sec"
         if s["steps"] > 1

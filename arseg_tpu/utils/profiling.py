@@ -74,10 +74,16 @@ class StepTimer:
     def summary(self, skip_warmup=1):
         ts = self.times[skip_warmup:] or self.times
         fs = self.frames[skip_warmup:] or self.frames
+        srt = sorted(ts)
         return {
             "steps": len(self.times),
             "mean_ms": 1e3 * sum(ts) / len(ts),
             "min_ms": 1e3 * min(ts),
+            # serving-ops percentiles (per step = per GOP/stack dispatch;
+            # warmup step excluded like the rest of the summary)
+            "p50_ms": 1e3 * srt[len(srt) // 2],
+            "p95_ms": 1e3 * srt[min(len(srt) - 1, int(len(srt) * 0.95))],
+            "max_ms": 1e3 * max(ts),
             "frames_per_sec": sum(fs) / sum(ts),
         }
 

@@ -264,6 +264,13 @@ def _run_streams(args, pipe, hr_params, ar_params, flow_shape):
 
     g = args.ref_gap
     specs = [s.split(":") for s in args.streams.split(",") if s]
+    # all streams stack into ONE batch, so every stream must contribute the
+    # same dtype: an all-video fleet ships raw uint8 (device-side
+    # normalize, 4x less H2D + no host f32 broadcast); any file-based
+    # stream forces host-normalized f32 everywhere
+    all_video = all(_is_video_spec(s) for s in specs if len(s) == 2) and all(
+        len(s) == 2 for s in specs
+    )
     datasets = []
     for spec in specs:
         if len(spec) not in (2, 3):
@@ -271,9 +278,6 @@ def _run_streams(args, pipe, hr_params, ar_params, flow_shape):
                              "(want data_dir:flow_dir[:ref_dir], or "
                              "video.hevc:carrier.264)")
         if _is_video_spec(spec):
-            # direct-video stream (gop/video_source.py). Host-side
-            # normalize here: file and video streams stack into ONE batch,
-            # so every stream must contribute the same (f32) dtype.
             missing = [f for f in spec if not os.path.isfile(f)]
             if missing:
                 raise SystemExit(f"video stream file(s) not found: {missing}")
@@ -283,6 +287,7 @@ def _run_streams(args, pipe, hr_params, ar_params, flow_shape):
             n_streams = len(specs)
             datasets.append(VideoGOPSource(
                 spec[0], spec[1], g, mean, std,
+                device_normalize=all_video,
                 merge_threads=max(1, (os.cpu_count() or 1) // n_streams)))
             continue
         data_dir, flow_dir = spec[0], spec[1]

@@ -110,53 +110,71 @@ def test_infer_video_cli_streams(tmp_path):
             np.testing.assert_array_equal(a, b)
 
 
-@pytest.mark.slow
-def test_infer_video_cli_direct_video(tmp_path):
-    """--video serving: compressed HEVC + H.264 carrier straight to class
-    maps, no PNG/bin inputs anywhere. Output must equal the file-based path
-    run on the SAME decoded frames + merged MVs (the artifacts the video
-    mode replaces)."""
+# ---- shared fixtures for the video-mode composition tests -----------------
+
+
+@pytest.fixture(scope="module")
+def video_fx(tmp_path_factory):
+    """One synthetic clip encoded once + camvid-psp18 checkpoints + the
+    baseline single-device --video output, shared by every video-mode test
+    (each previously rebuilt models, re-encoded, and re-ran the baseline)."""
     from arseg_tpu.tools.video import load_native
 
     native = load_native()
     if native is None:
         pytest.skip("native lib unavailable")
-
+    root = tmp_path_factory.mktemp("videocli")
     rng = np.random.RandomState(11)
     canvas = rng.randint(0, 255, (H, W + 32, 3), np.uint8).astype(np.int32)
     canvas = (canvas + np.roll(canvas, 1, 0) + np.roll(canvas, 1, 1)) // 3
     canvas = canvas.astype(np.uint8)
-    srcdir = tmp_path / "src"
+    srcdir = root / "src"
     srcdir.mkdir()
     paths = []
     for i in range(N):
-        p = srcdir / f"{i:03d}.png"
-        Image.fromarray(canvas[:, 2 * i : 2 * i + W]).save(p)
-        paths.append(str(p))
-    hevc = str(tmp_path / "s.hevc")
-    carrier = str(tmp_path / "s.264")
+        pth = srcdir / f"{i:03d}.png"
+        Image.fromarray(canvas[:, 2 * i : 2 * i + W]).save(pth)
+        paths.append(str(pth))
+    hevc = str(root / "s.hevc")
+    carrier = str(root / "s.264")
     native.encode(paths, hevc, codec="libx265", gop=GAP, bitrate_kbps=2000)
     native.encode(paths, carrier, codec="libx264", gop=GAP, bitrate_kbps=2000)
-
     hr = build_model("camvid-psp18", fuse=False)
     ar = build_model("camvid-psp18", fuse=True)
-    save_checkpoint(tmp_path / "hr.ckpt", hr.init(jax.random.PRNGKey(0)))
-    save_checkpoint(tmp_path / "ar.ckpt", ar.init(jax.random.PRNGKey(1)))
-
-    from arseg_tpu.cli.infer_video import main
-
-    out_v = tmp_path / "out_video"
-    main([
-        "--video", hevc, "--mv_carrier", carrier,
-        "--out_dir", str(out_v),
-        "--hr_snapshot", str(tmp_path / "hr.ckpt"),
-        "--ar_snapshot", str(tmp_path / "ar.ckpt"),
+    save_checkpoint(root / "hr.ckpt", hr.init(jax.random.PRNGKey(0)))
+    save_checkpoint(root / "ar.ckpt", ar.init(jax.random.PRNGKey(1)))
+    common = [
+        "--hr_snapshot", str(root / "hr.ckpt"),
+        "--ar_snapshot", str(root / "ar.ckpt"),
         "--backend", "camvid-psp18", "--ref_gap", str(GAP),
         "--dtype", "float32",
-    ])
-    assert sorted(os.listdir(out_v)) == [f"{i:05d}.png" for i in range(N)]
+    ]
+    from arseg_tpu.cli.infer_video import main
 
-    # file-based reference run over the SAME decoded frames + merged MVs
+    base_out = root / "out_video"
+    main(["--video", hevc, "--mv_carrier", carrier,
+          "--out_dir", str(base_out)] + common)
+    assert sorted(os.listdir(base_out)) == [f"{i:05d}.png" for i in range(N)]
+    return native, root, hevc, carrier, common, base_out
+
+
+def _assert_same_maps(out_dir, base_out):
+    got = sorted(os.listdir(out_dir))
+    assert got == [f"{i:05d}.png" for i in range(N)]
+    for name in got:
+        a = np.asarray(Image.open(os.path.join(out_dir, name)))
+        b = np.asarray(Image.open(os.path.join(base_out, name)))
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_infer_video_cli_direct_video(video_fx, tmp_path):
+    """--video serving: compressed HEVC + H.264 carrier straight to class
+    maps. Output must equal the file-based path run on the SAME decoded
+    frames + merged MVs (the artifacts the video mode replaces)."""
+    native, root, hevc, carrier, common, base_out = video_fx
+    from arseg_tpu.cli.infer_video import main
+
     dec = tmp_path / "dec"
     mvdir = tmp_path / "mvdump"
     flows = tmp_path / "mv"
@@ -181,176 +199,73 @@ def test_infer_video_cli_direct_video(tmp_path):
     out_f = tmp_path / "out_files"
     main([
         "--data_path", str(data), "--flow_path", str(flows),
-        "--out_dir", str(out_f),
-        "--hr_snapshot", str(tmp_path / "hr.ckpt"),
-        "--ar_snapshot", str(tmp_path / "ar.ckpt"),
-        "--backend", "camvid-psp18", "--ref_gap", str(GAP),
-        "--dtype", "float32", "--flow_shape", str(H), str(W),
-    ])
-    for i in range(N):
-        a = np.asarray(Image.open(out_v / f"{i:05d}.png"))
-        b = np.asarray(Image.open(out_f / f"{i:05d}.png"))
-        np.testing.assert_array_equal(a, b)
+        "--out_dir", str(out_f), "--flow_shape", str(H), str(W),
+    ] + common)
+    _assert_same_maps(out_f, base_out)
 
 
 @pytest.mark.slow
-def test_infer_video_cli_video_streams(tmp_path):
-    """--streams accepts direct-video specs (video.hevc:carrier.264): two
-    video streams over a 2-device mesh must reproduce the single-stream
-    --video outputs per stream."""
-    from arseg_tpu.tools.video import load_native
-
-    native = load_native()
-    if native is None:
-        pytest.skip("native lib unavailable")
-
-    rng = np.random.RandomState(13)
-    streams = []
-    for s in range(2):
-        canvas = rng.randint(0, 255, (H, W + 16, 3), np.uint8).astype(np.int32)
-        canvas = (canvas + np.roll(canvas, 1, 0) + np.roll(canvas, 1, 1)) // 3
-        canvas = canvas.astype(np.uint8)
-        srcdir = tmp_path / f"src{s}"
-        srcdir.mkdir()
-        paths = []
-        for i in range(GAP):
-            p = srcdir / f"{i:03d}.png"
-            Image.fromarray(canvas[:, 2 * i : 2 * i + W]).save(p)
-            paths.append(str(p))
-        hevc = str(tmp_path / f"s{s}.hevc")
-        carrier = str(tmp_path / f"s{s}.264")
-        native.encode(paths, hevc, codec="libx265", gop=GAP, bitrate_kbps=2000)
-        native.encode(paths, carrier, codec="libx264", gop=GAP, bitrate_kbps=2000)
-        streams.append((hevc, carrier))
-
-    hr = build_model("camvid-psp18", fuse=False)
-    ar = build_model("camvid-psp18", fuse=True)
-    save_checkpoint(tmp_path / "hr.ckpt", hr.init(jax.random.PRNGKey(0)))
-    save_checkpoint(tmp_path / "ar.ckpt", ar.init(jax.random.PRNGKey(1)))
-    common = [
-        "--hr_snapshot", str(tmp_path / "hr.ckpt"),
-        "--ar_snapshot", str(tmp_path / "ar.ckpt"),
-        "--backend", "camvid-psp18", "--ref_gap", str(GAP),
-        "--dtype", "float32",
-    ]
-
+def test_infer_video_cli_video_streams(video_fx, tmp_path):
+    """--streams accepts direct-video specs: two video streams (the shared
+    clip + a distinct second clip, so stream-index crosswiring would show)
+    over a 2-device mesh must reproduce the single-stream --video outputs
+    per stream."""
+    native, root, hevc, carrier, common, base_out = video_fx
     from arseg_tpu.cli.infer_video import main
 
-    out_multi = tmp_path / "out_multi"
-    main(["--streams", ",".join(f"{h}:{c}" for h, c in streams),
-          "--num_devices", "2", "--out_dir", str(out_multi)] + common)
+    rng = np.random.RandomState(13)
+    canvas = rng.randint(0, 255, (H, W + 16, 3), np.uint8).astype(np.int32)
+    canvas = (canvas + np.roll(canvas, 1, 0) + np.roll(canvas, 1, 1)) // 3
+    canvas = canvas.astype(np.uint8)
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    paths = []
+    for i in range(GAP):  # one GOP second stream (ragged lengths ok)
+        pth = src2 / f"{i:03d}.png"
+        Image.fromarray(canvas[:, 2 * i : 2 * i + W]).save(pth)
+        paths.append(str(pth))
+    hevc2 = str(tmp_path / "s2.hevc")
+    carrier2 = str(tmp_path / "s2.264")
+    native.encode(paths, hevc2, codec="libx265", gop=GAP, bitrate_kbps=2000)
+    native.encode(paths, carrier2, codec="libx264", gop=GAP, bitrate_kbps=2000)
+    base2 = tmp_path / "out_single2"
+    main(["--video", hevc2, "--mv_carrier", carrier2,
+          "--out_dir", str(base2)] + common)
 
-    for s, (hevc, carrier) in enumerate(streams):
-        out_single = tmp_path / f"out_single{s}"
-        main(["--video", hevc, "--mv_carrier", carrier,
-              "--out_dir", str(out_single)] + common)
+    out_multi = tmp_path / "out_multi"
+    main(["--streams", f"{hevc}:{carrier},{hevc2}:{carrier2}",
+          "--num_devices", "2", "--out_dir", str(out_multi)] + common)
+    # streams serve min(len) GOPs: one GOP from each stream
+    for s, base in ((0, base_out), (1, base2)):
         got = sorted(os.listdir(out_multi / f"s{s}"))
         assert got == [f"{i:05d}.png" for i in range(GAP)]
         for name in got:
             a = np.asarray(Image.open(out_multi / f"s{s}" / name))
-            b = np.asarray(Image.open(out_single / name))
+            b = np.asarray(Image.open(os.path.join(base, name)))
             np.testing.assert_array_equal(a, b)
 
 
 @pytest.mark.slow
-def test_infer_video_cli_gop_devices(tmp_path):
+def test_infer_video_cli_gop_devices(video_fx, tmp_path):
     """--gop_devices (frame-parallel latency mode) must write the same
     class maps as the single-device run — composed with --video."""
-    from arseg_tpu.tools.video import load_native
-
-    native = load_native()
-    if native is None:
-        pytest.skip("native lib unavailable")
-
-    rng = np.random.RandomState(17)
-    canvas = rng.randint(0, 255, (H, W + 16, 3), np.uint8).astype(np.int32)
-    canvas = (canvas + np.roll(canvas, 1, 0) + np.roll(canvas, 1, 1)) // 3
-    canvas = canvas.astype(np.uint8)
-    srcdir = tmp_path / "src"
-    srcdir.mkdir()
-    paths = []
-    for i in range(N):
-        p = srcdir / f"{i:03d}.png"
-        Image.fromarray(canvas[:, 2 * i : 2 * i + W]).save(p)
-        paths.append(str(p))
-    hevc = str(tmp_path / "s.hevc")
-    carrier = str(tmp_path / "s.264")
-    native.encode(paths, hevc, codec="libx265", gop=GAP, bitrate_kbps=2000)
-    native.encode(paths, carrier, codec="libx264", gop=GAP, bitrate_kbps=2000)
-
-    hr = build_model("camvid-psp18", fuse=False)
-    ar = build_model("camvid-psp18", fuse=True)
-    save_checkpoint(tmp_path / "hr.ckpt", hr.init(jax.random.PRNGKey(0)))
-    save_checkpoint(tmp_path / "ar.ckpt", ar.init(jax.random.PRNGKey(1)))
-    common = [
-        "--video", hevc, "--mv_carrier", carrier,
-        "--hr_snapshot", str(tmp_path / "hr.ckpt"),
-        "--ar_snapshot", str(tmp_path / "ar.ckpt"),
-        "--backend", "camvid-psp18", "--ref_gap", str(GAP),
-        "--dtype", "float32",
-    ]
-
+    native, root, hevc, carrier, common, base_out = video_fx
     from arseg_tpu.cli.infer_video import main
 
-    out1 = tmp_path / "out1"
     outn = tmp_path / "outn"
-    main(["--out_dir", str(out1)] + common)
-    main(["--out_dir", str(outn), "--gop_devices", "2"] + common)
-    got = sorted(os.listdir(outn))
-    assert got == [f"{i:05d}.png" for i in range(N)]
-    for name in got:
-        a = np.asarray(Image.open(out1 / name))
-        b = np.asarray(Image.open(outn / name))
-        np.testing.assert_array_equal(a, b)
+    main(["--video", hevc, "--mv_carrier", carrier,
+          "--out_dir", str(outn), "--gop_devices", "2"] + common)
+    _assert_same_maps(outn, base_out)
 
 
 @pytest.mark.slow
-def test_infer_video_cli_video_gop_batch(tmp_path):
+def test_infer_video_cli_video_gop_batch(video_fx, tmp_path):
     """--video composed with --gop_batch (uint8 multi-GOP stacks through
     the device-side normalize) must match the unbatched --video outputs."""
-    from arseg_tpu.tools.video import load_native
-
-    native = load_native()
-    if native is None:
-        pytest.skip("native lib unavailable")
-
-    rng = np.random.RandomState(23)
-    canvas = rng.randint(0, 255, (H, W + 16, 3), np.uint8).astype(np.int32)
-    canvas = (canvas + np.roll(canvas, 1, 0) + np.roll(canvas, 1, 1)) // 3
-    canvas = canvas.astype(np.uint8)
-    srcdir = tmp_path / "src"
-    srcdir.mkdir()
-    paths = []
-    for i in range(N):
-        p = srcdir / f"{i:03d}.png"
-        Image.fromarray(canvas[:, 2 * i : 2 * i + W]).save(p)
-        paths.append(str(p))
-    hevc = str(tmp_path / "s.hevc")
-    carrier = str(tmp_path / "s.264")
-    native.encode(paths, hevc, codec="libx265", gop=GAP, bitrate_kbps=2000)
-    native.encode(paths, carrier, codec="libx264", gop=GAP, bitrate_kbps=2000)
-
-    hr = build_model("camvid-psp18", fuse=False)
-    ar = build_model("camvid-psp18", fuse=True)
-    save_checkpoint(tmp_path / "hr.ckpt", hr.init(jax.random.PRNGKey(0)))
-    save_checkpoint(tmp_path / "ar.ckpt", ar.init(jax.random.PRNGKey(1)))
-    common = [
-        "--video", hevc, "--mv_carrier", carrier,
-        "--hr_snapshot", str(tmp_path / "hr.ckpt"),
-        "--ar_snapshot", str(tmp_path / "ar.ckpt"),
-        "--backend", "camvid-psp18", "--ref_gap", str(GAP),
-        "--dtype", "float32",
-    ]
-
+    native, root, hevc, carrier, common, base_out = video_fx
     from arseg_tpu.cli.infer_video import main
 
-    out1 = tmp_path / "out1"
     outb = tmp_path / "outb"
-    main(["--out_dir", str(out1)] + common)
-    main(["--out_dir", str(outb), "--gop_batch", "2"] + common)
-    got = sorted(os.listdir(outb))
-    assert got == [f"{i:05d}.png" for i in range(N)]
-    for name in got:
-        a = np.asarray(Image.open(out1 / name))
-        b = np.asarray(Image.open(outb / name))
-        np.testing.assert_array_equal(a, b)
+    main(["--video", hevc, "--mv_carrier", carrier,
+          "--out_dir", str(outb), "--gop_batch", "2"] + common)
+    _assert_same_maps(outb, base_out)

@@ -69,6 +69,15 @@ class Loader:
 
         def worker(worker_id):
             for bi in range(worker_id, len(batches), self.num_workers):
+                with results_lock:
+                    # bound the decode look-ahead so a slow consumer holds
+                    # O(prefetch + workers) batches in host memory, not the
+                    # whole epoch (same backpressure as gop/feeder.py)
+                    while (
+                        bi - next_emit[0] > self.prefetch + self.num_workers
+                        and not stop.is_set()
+                    ):
+                        results_lock.wait()
                 if stop.is_set():
                     return
                 try:
@@ -92,6 +101,8 @@ class Loader:
                     while bi not in results:
                         results_lock.wait()
                     item = results.pop(bi)
+                    next_emit[0] = bi
+                    results_lock.notify_all()
                 out_q.put(item)
             out_q.put(None)
 
@@ -107,6 +118,8 @@ class Loader:
                 yield item
         finally:
             stop.set()
+            with results_lock:
+                results_lock.notify_all()  # release workers in the bound-wait
 
 
 def device_prefetch(iterator, size: int = 2, sharding=None):

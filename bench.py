@@ -194,13 +194,28 @@ def bench_batch_matched():
     return out
 
 
-if __name__ == "__main__":
+def main():
+    # primary config first; the transparency arms must not be able to cost
+    # us the headline number if the tunnel flakes mid-run
     bise_ar, bise_hr = bench_config("camvid-bise18")
-    psp_ar, psp_hr = bench_config("camvid-psp18")
-    batch_matched = bench_batch_matched()
-    batch_matched["vs_hr_gop_batched"] = round(
-        bise_ar / batch_matched["hr_gop_batched_fps"], 3
-    )
+    extra = {"bise18_hr_everyframe_fps": round(bise_hr, 2)}
+    try:
+        psp_ar, psp_hr = bench_config("camvid-psp18")
+        extra.update(
+            psp18_ar_fps=round(psp_ar, 2),
+            psp18_vs_baseline=round(psp_ar / psp_hr, 3),
+            psp18_hr_everyframe_fps=round(psp_hr, 2),
+        )
+    except Exception as e:  # noqa: BLE001 — report, don't die
+        extra["psp18_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        batch_matched = bench_batch_matched()
+        batch_matched["vs_hr_gop_batched"] = round(
+            bise_ar / batch_matched["hr_gop_batched_fps"], 3
+        )
+        extra["batch_matched"] = batch_matched
+    except Exception as e:  # noqa: BLE001
+        extra["batch_matched_error"] = f"{type(e).__name__}: {e}"[:200]
     print(
         json.dumps(
             {
@@ -208,13 +223,11 @@ if __name__ == "__main__":
                 "value": round(bise_ar, 2),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(bise_ar / bise_hr, 3),
-                "extra": {
-                    "bise18_hr_everyframe_fps": round(bise_hr, 2),
-                    "psp18_ar_fps": round(psp_ar, 2),
-                    "psp18_vs_baseline": round(psp_ar / psp_hr, 3),
-                    "psp18_hr_everyframe_fps": round(psp_hr, 2),
-                    "batch_matched": batch_matched,
-                },
+                "extra": extra,
             }
         )
     )
+
+
+if __name__ == "__main__":
+    main()

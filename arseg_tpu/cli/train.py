@@ -13,6 +13,10 @@ def main(argv=None):
     p.add_argument("--models-path", required=True)
     p.add_argument("--backend", default="resnet34")
     p.add_argument("--snapshot", default=None)
+    p.add_argument("--resume", default=None, metavar="CKPT.npz",
+                   help="true resume from a trainer checkpoint: params + optimizer "
+                        "state + epoch/best-mIoU cursors (vs --snapshot: weights-only "
+                        "warm start, fresh optimizer)")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--alpha", type=float, default=1.0)
     p.add_argument("--epochs", type=int, default=20)
@@ -41,6 +45,7 @@ def main(argv=None):
         models_path=args.models_path,
         backend=args.backend,
         snapshot=args.snapshot,
+        resume=args.resume,
         batch_size=args.batch_size,
         alpha=args.alpha,
         epochs=args.epochs,

@@ -14,6 +14,10 @@ def main(argv=None):
     p.add_argument("--models-path", required=True)
     p.add_argument("--backend", default="resnet34")
     p.add_argument("--snapshot", default=None)
+    p.add_argument("--resume", default=None, metavar="CKPT.npz",
+                   help="true resume from a trainer checkpoint: params + optimizer "
+                        "state + epoch/best-mIoU cursors (vs --snapshot: weights-only "
+                        "warm start, fresh optimizer)")
     p.add_argument("--crop_x", type=int, default=256)
     p.add_argument("--crop_y", type=int, default=256)
     p.add_argument("--batch-size", type=int, default=16)
@@ -55,6 +59,7 @@ def main(argv=None):
         models_path=args.models_path,
         backend=args.backend,
         snapshot=args.snapshot,
+        resume=args.resume,
         batch_size=args.batch_size,
         alpha=args.alpha,
         epochs=args.epochs,

@@ -119,6 +119,34 @@ def _load_params(path, backend_key=None):
     return load_checkpoint(path)["params"]
 
 
+def _apply_resume(resume, opt_state, verbose):
+    """True resume from a checkpoint written by these trainers: restores
+    params, optimizer state (incl. the schedule's step counter) and the
+    epoch / best-mIoU cursors. Distinct from `snapshot`, which keeps the
+    reference semantics (warm-start weights, fresh optimizer + warmup
+    schedule). Two caveats, by design: the trainers save only on val-mIoU
+    improvement, so resume continues from the *best* epoch, not the crash
+    epoch; and the rng stream is re-seeded rather than replayed, so a
+    resumed run is deterministic but not bit-identical to an uninterrupted
+    one. Returns (params, opt_state, start_epoch, max_miou)."""
+    ck = load_checkpoint(resume, opt_state_template=opt_state)
+    if "opt_state" not in ck:
+        raise ValueError(
+            f"--resume checkpoint {resume!r} has no optimizer state; "
+            "use --snapshot to warm-start from weights alone"
+        )
+    meta = ck.get("metadata") or {}
+    start_epoch = int(meta.get("epoch", 0))
+    max_miou = float(meta.get("miou", 0.0))
+    if verbose:
+        print(
+            f"resuming from {resume}: epoch {start_epoch}, "
+            f"best mIoU {max_miou:.4f}",
+            flush=True,
+        )
+    return ck["params"], ck["opt_state"], start_epoch, max_miou
+
+
 def _graft_final_conv(params, teacher_params, path):
     """load_decoder equivalent (`train.py:51-59`): copy the teacher's
     final_conv into the student tree. Copy-on-write along the grafted path —
@@ -205,7 +233,12 @@ def train_phase1(
     bn_mode="sync",
     accum_steps=1,
     train_dtype=None,
+    resume=None,
 ):
+    if resume and snapshot:
+        raise ValueError("resume and snapshot are mutually exclusive: resume "
+                         "restores a full trainer state, snapshot warm-starts "
+                         "weights with a fresh optimizer")
     policy = DATASET_POLICY[dataset]
     os.makedirs(models_path, exist_ok=True)
     cropsize = cropsize or policy["cropsize"]
@@ -252,6 +285,11 @@ def train_phase1(
         base = make_optimizer(policy["optimizer"], schedule)
     optimizer = masked_optimizer(base, params, frozen)
     opt_state = optimizer.init(params)
+    start_epoch = 0
+    if resume:
+        params, opt_state, start_epoch, max_miou0 = _apply_resume(
+            resume, opt_state, verbose
+        )
 
     loss_fn = build_phase1_loss(model, model_type, dataset, cropsize, scale,
                                 alpha, feat_loss, teacher_model)
@@ -262,9 +300,9 @@ def train_phase1(
     params = replicate(params, loop.mesh)
 
     evaluator = EvalConstRes(scale=scale, ignore_label=255)
-    rng = jax.random.PRNGKey(seed + 1)
-    max_miou, history = 0.0, []
-    for epoch in range(epochs):
+    rng = jax.random.fold_in(jax.random.PRNGKey(seed + 1), start_epoch)
+    max_miou, history = (max_miou0 if resume else 0.0), []
+    for epoch in range(start_epoch, epochs):
         params, opt_state, rng, mean_loss = loop.run_epoch(
             step_fn, params, opt_state, teacher_params, train_loader, rng, epoch
         )
@@ -319,7 +357,12 @@ def train_phase2(
     bn_mode="sync",
     accum_steps=1,
     train_dtype=None,
+    resume=None,
 ):
+    if resume and snapshot:
+        raise ValueError("resume and snapshot are mutually exclusive: resume "
+                         "restores a full trainer state, snapshot warm-starts "
+                         "weights with a fresh optimizer")
     policy = DATASET_POLICY[dataset]
     os.makedirs(models_path, exist_ok=True)
     cropsize = cropsize or policy["cropsize"]
@@ -398,6 +441,11 @@ def train_phase2(
         base = make_optimizer(policy["optimizer"], schedule)
     optimizer = masked_optimizer(base, params, frozen)
     opt_state = optimizer.init(params)
+    start_epoch = 0
+    if resume:
+        params, opt_state, start_epoch, max_miou0 = _apply_resume(
+            resume, opt_state, verbose
+        )
 
     mk_loss = lambda stage2: build_phase2_loss(
         model, teacher_model, model_type, dataset, cropsize, scale,
@@ -416,9 +464,9 @@ def train_phase2(
 
     eval_stage2 = EvalAlterRes(scale=scale, ignore_label=255)
     eval_stage1 = EvalConstRes(scale=scale, ignore_label=255)
-    rng = jax.random.PRNGKey(seed + 1)
-    max_miou, history = 0.0, []
-    for epoch in range(epochs):
+    rng = jax.random.fold_in(jax.random.PRNGKey(seed + 1), start_epoch)
+    max_miou, history = (max_miou0 if resume else 0.0), []
+    for epoch in range(start_epoch, epochs):
         stage2 = epoch >= stage1_epoch
         step_fn = step_stage2 if stage2 else step_stage1
         params, opt_state, rng, mean_loss = loop.run_epoch(

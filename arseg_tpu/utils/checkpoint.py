@@ -65,10 +65,17 @@ def load_checkpoint(path, opt_state_template=None):
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             out["metadata"] = json.load(f)
-    if opt_state_template is not None:
+    if opt_state_template is not None and "__opt__/0" in data.files:
         import jax
 
-        leaves = [data[f"__opt__/{i}"] for i in range(len(jax.tree_util.tree_leaves(opt_state_template)))]
+        n = len(jax.tree_util.tree_leaves(opt_state_template))
+        stored = sum(1 for k in data.files if k.startswith("__opt__/"))
+        if stored != n:
+            raise ValueError(
+                f"checkpoint stores {stored} optimizer-state leaves but the "
+                f"template has {n} — optimizer/flags differ from the saving run"
+            )
+        leaves = [data[f"__opt__/{i}"] for i in range(n)]
         out["opt_state"] = jax.tree_util.tree_unflatten(
             jax.tree_util.tree_structure(opt_state_template), [jnp.asarray(l) for l in leaves]
         )

@@ -207,26 +207,36 @@ def test_grad_accumulation_step():
 
 
 @pytest.mark.slow
-def test_train_cli_smoke(camvid_tree, tmp_path):
+def test_train_cli_smoke(camvid_tree, tmp_path, capsys):
     """CLI arg plumbing -> trainer: one tiny epoch through
     cli/train.py main() (catches signature drift between the CLI surface
-    and the trainer functions)."""
+    and the trainer functions), then a true --resume for one more epoch
+    (reuses the in-process jit cache, so the second leg is cheap)."""
     from arseg_tpu.cli import train as cli_train
 
-    cli_train.main([
+    common = [
         "--data-path", str(camvid_tree / "camvid-sequence" / "3M-GOP2" / "decoded_GOP2_dist_1"),
         "--models-path", str(tmp_path / "m"),
         "--backend", "resnet18",
         "--batch-size", "2",
-        "--epochs", "1",
         "--dataset", "camvid",
         "--model_type", "pspnet",
         "--accum_steps", "2",
         "--num_devices", "1",
         "--cropsize", "64", "48",
-    ])
-    saved = os.listdir(str(tmp_path / "m"))
-    assert any(f.endswith(".npz") for f in saved)
+    ]
+    cli_train.main(common + ["--epochs", "1"])
+    saved = [f for f in os.listdir(str(tmp_path / "m")) if f.endswith(".npz")]
+    assert saved
+
+    # resume from the saved epoch-1 checkpoint and run epoch 2 only
+    capsys.readouterr()
+    cli_train.main(common + ["--epochs", "2",
+                             "--resume", str(tmp_path / "m" / saved[0])])
+    out = capsys.readouterr().out
+    assert "resuming from" in out
+    assert "[1] it" not in out, "resume must skip the already-trained epoch"
+    assert "[2] it" in out, "resume must run the second epoch"
 
 
 @pytest.mark.heavy

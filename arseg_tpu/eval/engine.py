@@ -43,11 +43,9 @@ def _as_tuple(x):
     return x if isinstance(x, tuple) else (x,)
 
 
-def _pad_to_multiple(arrs, n, label_key, ignore_label):
-    """Pad dict-of-arrays along dim 0 to a multiple of n; padded frames get
-    label == ignore_label so they contribute nothing to the histogram."""
-    b = next(iter(arrs.values())).shape[0]
-    pad = (-b) % n
+def _pad_rows(arrs, pad, label_key, ignore_label):
+    """Pad dict-of-arrays with `pad` extra rows along dim 0; padded frames
+    get label == ignore_label so they contribute nothing to the histogram."""
     if pad == 0:
         return arrs
     out = {}
@@ -58,6 +56,26 @@ def _pad_to_multiple(arrs, n, label_key, ignore_label):
         else:
             out[k] = np.pad(np.asarray(v), pw)
     return out
+
+
+def _pad_to_multiple(arrs, n, label_key, ignore_label):
+    b = next(iter(arrs.values())).shape[0]
+    return _pad_rows(arrs, (-b) % n, label_key, ignore_label)
+
+
+def _equalized(it, label_key, ignore_label):
+    """Pad any batch smaller than the first one (the ragged tail — the
+    protocol never drops samples, reference `evaluation.py` is batch-1) up
+    to the first batch's row count: every step shares ONE compiled shape
+    and padded frames are ignore-label inert."""
+    first = None
+    for arrs in it:
+        b = next(iter(arrs.values())).shape[0]
+        if first is None:
+            first = b
+        elif b < first:
+            arrs = _pad_rows(arrs, first - b, label_key, ignore_label)
+        yield arrs
 
 
 def _const_hist(model, scale, n_classes, ignore_label, dtype):
@@ -144,13 +162,13 @@ def _alter_step(highres_model, model, scale, n_classes, ignore_label, dtype, mes
     return step
 
 
-def _staged(loader, prep, mesh, prefetch):
+def _staged(loader, prep, mesh, prefetch, ignore_label):
     """Host-prep each batch then stage it on device `prefetch` steps ahead
     (data/loader.py device_prefetch): the H2D transfer of batch k+1 overlaps
     the device compute of batch k — the eval-side double-buffered HBM
     prefetch (SURVEY §7.5). In sharded mode batches are placed with the
     'data' NamedSharding so the shard_map step starts with zero relayout."""
-    it = (prep(b) for b in loader)
+    it = _equalized((prep(b) for b in loader), "label", ignore_label)
     if prefetch <= 0:
         return it
     from arseg_tpu.data.loader import device_prefetch
@@ -184,7 +202,7 @@ class EvalConstRes:
             return {"image": batch["image"], "label": batch["label"]}
 
         hist = jnp.zeros((n_classes, n_classes), dtype=jnp.float32)
-        for batch in _staged(loader, prep, self.mesh, self.prefetch):
+        for batch in _staged(loader, prep, self.mesh, self.prefetch, self.ignore_label):
             hist = step(params, hist, batch["image"], batch["label"])
             if progress:
                 progress()
@@ -220,7 +238,7 @@ class EvalAlterRes:
             return batch
 
         hist = jnp.zeros((n_classes, n_classes), dtype=jnp.float32)
-        for batch in _staged(loader, prep, self.mesh, self.prefetch):
+        for batch in _staged(loader, prep, self.mesh, self.prefetch, self.ignore_label):
             hist = step(
                 hr_params,
                 params,

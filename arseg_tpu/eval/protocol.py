@@ -123,8 +123,11 @@ def run_protocol(
             print(*a, flush=True)
 
     def make_loader(ds):
+        # never drop the ragged tail: the engines ignore-label-pad it to
+        # the compiled batch shape, so batch_size>1 measures every sample
+        # exactly like the reference's batch-1 loop
         return Loader(ds, batch_size=batch_size, shuffle=False,
-                      num_workers=num_workers, drop_last=(n_dev == 1))
+                      num_workers=num_workers, drop_last=False)
 
     if mode[0]:  # HR
         mious = []

@@ -64,6 +64,31 @@ def test_sharded_eval_const_matches_unsharded(psp):
     np.testing.assert_allclose(miou1, miou8, rtol=1e-5)
 
 
+def test_unsharded_batched_eval_keeps_tail_samples(psp):
+    """batch_size>1 on ONE device: the ragged tail must be ignore-padded to
+    the compiled shape and measured, not dropped (the engines equalize every
+    batch to the first batch's row count — one compile, every sample counted)."""
+    model, params = psp
+    rng = np.random.RandomState(1)
+    data = _frames(rng, 10)
+
+    single = [{k: v[i : i + 1] for k, v in data.items()} for i in range(10)]
+    miou1 = EvalConstRes(scale=0.5)(model, params, single, N_CLASSES)
+
+    batched = [
+        {k: v[:4] for k, v in data.items()},
+        {k: v[4:8] for k, v in data.items()},
+        {k: v[8:] for k, v in data.items()},  # ragged tail of 2
+    ]
+    miou4 = EvalConstRes(scale=0.5)(model, params, batched, N_CLASSES)
+    np.testing.assert_allclose(miou1, miou4, rtol=1e-5)
+
+    # dropping the tail must actually change the answer on this data —
+    # otherwise the equality above proves nothing
+    miou_dropped = EvalConstRes(scale=0.5)(model, params, batched[:2], N_CLASSES)
+    assert abs(miou_dropped - miou1) > 1e-7
+
+
 def test_sharded_eval_alter_matches_unsharded(psp, psp_fuse):
     hr_model, hr_params = psp
     model, params = psp_fuse

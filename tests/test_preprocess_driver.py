@@ -101,3 +101,43 @@ def test_generate_compressed_camvid_contract(raw_tree):
     assert sample["image"].shape == (H, W, 3)
     assert sample["ref_image"].shape == (H, W, 3)
     assert sample["flow"].shape[-1] == 2
+
+
+@needs_native
+def test_generate_compressed_cityscapes_contract(tmp_path):
+    """Cityscapes flavor: the annotated frame is index 19 of each 30-frame
+    snippet; windows end at the annotated frame (reference
+    ..._cityscapes.py:122-146)."""
+    from arseg_tpu.tools.preprocess import generate_compressed_cityscapes
+
+    rng = np.random.RandomState(5)
+    canvas = rng.randint(0, 255, (H, W + 64, 3), np.uint8).astype(np.int32)
+    canvas = (canvas + np.roll(canvas, 1, 0) + np.roll(canvas, 1, 1)) // 3
+    canvas = canvas.astype(np.uint8)
+
+    fn = "cityA_000000_000019_leftImg8bit.png"
+    (tmp_path / "leftImg8bit" / "val" / "cityA").mkdir(parents=True)
+    Image.fromarray(canvas[:, :W]).save(tmp_path / "leftImg8bit" / "val" / "cityA" / fn)
+    seq_city = tmp_path / "leftImg8bit_sequence" / "val" / "cityA"
+    seq_city.mkdir(parents=True)
+    for i, idx in enumerate(range(14, 22)):
+        Image.fromarray(canvas[:, 2 * i : 2 * i + W]).save(
+            seq_city / f"cityA_000000_{idx:06d}_leftImg8bit.png"
+        )
+
+    out_root = generate_compressed_cityscapes(
+        str(tmp_path), ref_gap=GOP, bitrate=1000, splits=("val",),
+        key_dists=(3,), progress=lambda *a: None,
+    )
+    dec = os.path.join(out_root, f"decoded_GOP{GOP}_dist_3", "leftImg8bit", "val", "cityA", fn)
+    assert os.path.exists(dec) and Image.open(dec).size == (W, H)
+    mv = np.fromfile(
+        os.path.join(out_root, f"MVmap_GOP{GOP}_dist_3", "val", "cityA", fn[:-4] + ".bin"),
+        np.int16,
+    )
+    assert mv.size == H * W * 2
+    # keyframe = window start (annotated idx 19 - dist 3 = 16)
+    assert os.path.exists(
+        os.path.join(out_root, "frames", "val", "cityA",
+                     "cityA_000000_000016_leftImg8bit.png")
+    )

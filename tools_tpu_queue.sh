@@ -35,6 +35,13 @@ run profile   2400 python tools_profile_gop.py
 run r3n       5400 python tools_probe_r3n.py
 run bench     3600 python bench.py
 run feeder    5400 python tools_bench_feeder_tpu.py 30
-run r3m       5400 python tools_probe_r3m.py
-run pathology 5400 python tools_retest_pathologies.py
+# Crash-risky stages (r3m variant d + the pathology retest can wedge the
+# worker/tunnel): OPT-IN via RISKY=1 so an unattended auto-queue can never
+# leave the tunnel wedged right before the driver's round-end bench.
+if [ "${RISKY:-0}" = "1" ]; then
+  run r3m       5400 python tools_probe_r3m.py
+  run pathology 5400 python tools_retest_pathologies.py
+else
+  echo "SKIPPED crash-risky stages (r3m, pathology) — rerun with RISKY=1 after a bench capture" | tee -a "$LOG/queue.log"
+fi
 echo "QUEUE DONE ($(date +%H:%M:%S))" | tee -a "$LOG/queue.log"

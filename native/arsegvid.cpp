@@ -15,6 +15,7 @@ extern "C" {
 #include <omp.h>
 #endif
 
+#include <algorithm>
 #include <cmath>
 #include <cstdio>
 #include <cstring>
@@ -318,8 +319,21 @@ int encode_impl(const char *const *image_paths, int n_frames,
  * absorption the reference applies to its decoder's intra blocks. */
 void rasterize_mvs(const AVFrame *frame, std::vector<int16_t> &out) {
   int w = frame->width, h = frame->height;
-  out.assign((size_t)h * w * 3, 0);
-  for (size_t i = 2; i < out.size(); i += 3) out[i] = -1;
+  /* background = (0, 0, -1) triplets; a doubling memcpy pattern-fill runs
+   * at memory bandwidth, vs the former memset + strided every-3rd store
+   * (the MV path is rasterization-bound — see decode_stream note) */
+  size_t total = (size_t)h * w * 3;
+  out.resize(total);
+  if (total >= 3) {
+    out[0] = 0;
+    out[1] = 0;
+    out[2] = -1;
+    for (size_t filled = 3; filled < total;) {
+      size_t chunk = std::min(filled, total - filled);
+      std::memcpy(out.data() + filled, out.data(), chunk * sizeof(int16_t));
+      filled += chunk;
+    }
+  }
 
   const AVFrameSideData *sd =
       av_frame_get_side_data(frame, AV_FRAME_DATA_MOTION_VECTORS);

@@ -465,12 +465,15 @@ extern "C" int arsegvid_merge_mv_mt(const int16_t *bins, int n_frames, int h,
    * frame f; the chain from frame f resolves through frame f-1's already-
    * computed ancestors, so one pass over frames suffices (the reference
    * does the same DP with a [H, W, F, 3] tensor, ...camvid.py:12-49). */
-  std::vector<std::vector<int32_t>> anc(n_frames + 1);
+  /* int16 (x, y) pairs: frame dims are < 32768, and halving the ancestor
+   * footprint (2.8 vs 5.5 MB/plane at 720x960) matters — the per-pixel
+   * gather below is cache-miss-bound. */
+  std::vector<std::vector<int16_t>> anc(n_frames + 1);
   anc[0].resize(plane * 2);
   for (int y = 0; y < h; y++)
     for (int x = 0; x < w; x++) {
-      anc[0][((size_t)y * w + x) * 2] = x;
-      anc[0][((size_t)y * w + x) * 2 + 1] = y;
+      anc[0][((size_t)y * w + x) * 2] = (int16_t)x;
+      anc[0][((size_t)y * w + x) * 2 + 1] = (int16_t)y;
     }
   std::memset(out, 0, plane * 2 * sizeof(int16_t)); /* distance 0 */
 
@@ -480,10 +483,10 @@ extern "C" int arsegvid_merge_mv_mt(const int16_t *bins, int n_frames, int h,
     int16_t *dst = out + (size_t)f1 * plane * 2;
     /* the DP is sequential across frames but each pixel of frame f1 only
      * READS anc[<f1] and WRITES its own anc[f1][p]/dst[p] — rows
-     * parallelize cleanly (the host-side serving bottleneck at ~163
-     * ms/GOP/core, tools_bench_feeder_host.py). n_threads bounds the team
-     * so callers running one merge per stream/worker don't oversubscribe
-     * (0 = OpenMP default). */
+     * parallelize cleanly (the largest host-side serving cost, ~71
+     * ms/GOP/core at 720x960, tools_bench_feeder_host.py). n_threads
+     * bounds the team so callers running one merge per stream/worker
+     * don't oversubscribe (0 = OpenMP default). */
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static) \
     num_threads(n_threads > 0 ? n_threads : omp_get_max_threads())
@@ -514,11 +517,11 @@ extern "C" int arsegvid_merge_mv_mt(const int16_t *bins, int n_frames, int h,
         int f2 = f1 - off - 1;
         if (f2 < 0) f2 = 0;
         size_t p2 = (size_t)y2 * w + x2;
-        int32_t ax = anc[f2][p2 * 2], ay = anc[f2][p2 * 2 + 1];
+        int16_t ax = anc[f2][p2 * 2], ay = anc[f2][p2 * 2 + 1];
         anc[f1][p * 2] = ax;
         anc[f1][p * 2 + 1] = ay;
-        dst[p * 2] = (int16_t)((ax - x) * 4);
-        dst[p * 2 + 1] = (int16_t)((ay - y) * 4);
+        dst[p * 2] = (int16_t)(((int)ax - x) * 4);
+        dst[p * 2 + 1] = (int16_t)(((int)ay - y) * 4);
       }
     }
   }

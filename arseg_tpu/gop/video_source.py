@@ -162,13 +162,14 @@ class VideoGOPSource:
                 merged = self.native.merge_mv(
                     np.stack(mvs[1:]), max_ref=self.g,
                     threads=self.merge_threads)
-                flow = merged[1:].astype(np.float32) / 4.0
-                yield (
-                    imgs[:1],
-                    imgs[1:],
-                    np.ascontiguousarray(flow[..., 0]),
-                    np.ascontiguousarray(flow[..., 1]),
-                )
+                # qpel int16 -> px f32 per plane in ONE pass each (astype of
+                # the strided view is already a contiguous copy; *0.25 is
+                # exact, bitwise == the former astype(f32)/4.0 on [..., 2])
+                fx = merged[1:, ..., 0].astype(np.float32)
+                fx *= 0.25
+                fy = merged[1:, ..., 1].astype(np.float32)
+                fy *= 0.25
+                yield (imgs[:1], imgs[1:], fx, fy)
         finally:
             stop.set()
             for q in (frame_q, mv_q):  # unblock producers promptly

@@ -96,6 +96,10 @@ def main(argv=None):
     p.add_argument("--flow_shape", type=int, nargs=2, default=None)
     p.add_argument("--result_dir", default=None,
                    help="keep produced txts here (default: temp dir)")
+    p.add_argument("--num_devices", type=int, default=1,
+                   help="shard eval over a 'data' mesh (psum'd histograms)")
+    p.add_argument("--dtype", default=None, choices=["bfloat16", "float32"],
+                   help="serving dtype (default: checkpoint dtype, f32 parity)")
     args = p.parse_args(argv)
 
     if not (args.hr or args.ar or args.lr):
@@ -113,6 +117,17 @@ def main(argv=None):
     result_dir = args.result_dir or os.path.join(tmp, "results")
     stage_checkpoints(args, ckpt_root)
 
+    mesh = None
+    if args.num_devices > 1:
+        from arseg_tpu.parallel import data_mesh
+
+        mesh = data_mesh(args.num_devices)
+    dtype = None
+    if args.dtype:
+        import jax.numpy as jnp
+
+        dtype = jnp.dtype(args.dtype)
+
     mode = (1 if args.hr else 0, 1 if args.lr else 0, 1 if args.ar else 0)
     run_protocol(
         dataset=dataset,
@@ -124,6 +139,8 @@ def main(argv=None):
         ckpt_root=ckpt_root,
         result_dir=result_dir,
         flow_shape=tuple(args.flow_shape) + (2,) if args.flow_shape else None,
+        mesh=mesh,
+        dtype=dtype,
     )
 
     names = []

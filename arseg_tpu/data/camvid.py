@@ -51,6 +51,22 @@ def get_files(folder, extension=".png"):
     return out
 
 
+def open_rgb(path, pil=False):
+    """RGB image decode. PIL on the train path (the transform library is
+    PIL-based); cv2 otherwise — ~1.4x faster PNG decode, bit-identical on
+    the codec-produced frames (PERF.md session-3). Labels are NOT loaded
+    through this: paletted label PNGs must keep index semantics, which
+    only PIL preserves."""
+    if pil:
+        return Image.open(path)
+    import cv2
+
+    img = cv2.imread(os.fspath(path), cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(f"cannot decode image: {path}")
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
 def dataset_frame_idx(basename, seq_name):
     """Frame index encoded in an annotated-frame filename
     (`dataset/camvid.py:407-413`): 0001TP/0016E5 use plain digits, the other
@@ -148,13 +164,14 @@ class CamVid:
         return len(self.data)
 
     def __getitem__(self, index):
-        img = Image.open(self.data[index])
+        pil = self.mode == "train"  # the transform library is PIL-based
+        img = open_rgb(self.data[index], pil)
         label = Image.open(self.labels[index])
 
         ref_img = None
         if self.load_pair:
-            ref_img = Image.open(
-                ref_frame_path(self.ref_path, self.data[index], self.ref_gap)
+            ref_img = open_rgb(
+                ref_frame_path(self.ref_path, self.data[index], self.ref_gap), pil
             )
 
         if self.mode == "train":
@@ -218,11 +235,12 @@ class CamVidWithFlow(CamVid):
 
     def __getitem__(self, index):
         data_path = self.data[index]
-        img = Image.open(data_path)
+        pil = self.mode == "train"
+        img = open_rgb(data_path, pil)
         label = Image.open(self.labels[index])
 
         seq = os.path.basename(data_path).split("_")[0]
-        ref_img = Image.open(ref_frame_path(self.ref_path, data_path, self.ref_gap))
+        ref_img = open_rgb(ref_frame_path(self.ref_path, data_path, self.ref_gap), pil)
         flow = read_flow_bin(
             os.path.join(
                 self.flow_path, seq, os.path.basename(data_path)[:-4] + ".bin"
@@ -271,12 +289,13 @@ class CamVidWithBiFlow(CamVidWithFlow):
 
     def __getitem__(self, index):
         data_path = self.data[index]
-        img = Image.open(data_path)
+        pil = self.mode == "train"
+        img = open_rgb(data_path, pil)
         label = Image.open(self.labels[index])
         seq, past_path, future_path = self._ref_paths(data_path)
         stem = os.path.basename(data_path)[:-4]
-        ref_img = Image.open(past_path)
-        ref_img2 = Image.open(future_path)
+        ref_img = open_rgb(past_path, pil)
+        ref_img2 = open_rgb(future_path, pil)
         flow = read_flow_bin(
             os.path.join(self.flow_path, seq, stem + "_last.bin"), self.flow_shape
         )
@@ -326,7 +345,7 @@ class CamVidWithFlowTest:
 
     def __getitem__(self, index):
         data_path = self.data[index]
-        img = Image.open(data_path)
+        img = open_rgb(data_path)
         sample = {
             "image": T.normalize(img, CAMVID_MEAN, CAMVID_STD),
             "label": np.int32(0),
@@ -335,7 +354,7 @@ class CamVidWithFlowTest:
         if self.load_pair:
             idx = int(os.path.basename(data_path)[:-4])
             key_idx = idx // self.ref_gap * self.ref_gap
-            ref_img = Image.open(os.path.join(self.ref_path, f"{key_idx:05d}.png"))
+            ref_img = open_rgb(os.path.join(self.ref_path, f"{key_idx:05d}.png"))
             flow = read_flow_bin(
                 os.path.join(
                     self.flow_path, os.path.basename(data_path)[:-4] + ".bin"
@@ -388,7 +407,9 @@ class CamVidwithCUmap(CamVid):
         )
 
     def __getitem__(self, index):
-        img = Image.open(self.data[index]).convert("RGB")
+        img = open_rgb(self.data[index], pil=self.mode == "train")
+        if self.mode == "train":
+            img = img.convert("RGB")
         label = Image.open(self.labels[index])
         cumap = Image.open(_cumap_path(self.root_dir, self.data[index])).convert("L")
 

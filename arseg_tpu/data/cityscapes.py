@@ -16,6 +16,7 @@ import numpy as np
 from PIL import Image
 
 from arseg_tpu.data import transform as T
+from arseg_tpu.data.camvid import open_rgb
 
 # standard Cityscapes labelId -> trainId (== dataset/cityscapes_info.json)
 ID_TO_TRAINID = {
@@ -104,7 +105,10 @@ class CityScapes:
 
     def __getitem__(self, idx):
         fn = self.imnames[idx]
-        img = Image.open(self.imgs[fn]).convert("RGB")
+        pil = self.mode == "train"
+        img = open_rgb(self.imgs[fn], pil)
+        if pil:
+            img = img.convert("RGB")
         label = Image.open(self.labels[fn])
         if self.mode == "train":
             out = self.trans_train(dict(im=img, lb=label))
@@ -147,14 +151,17 @@ class CityScapesWithFlow(CityScapes):
 
     def __getitem__(self, idx):
         fn = self.imnames[idx]
-        img = Image.open(self.imgs[fn]).convert("RGB")
+        pil = self.mode == "train"
+        img = open_rgb(self.imgs[fn], pil)
+        if pil:
+            img = img.convert("RGB")
         label = Image.open(self.labels[fn])
 
         parts = fn.split("_")
         ref_idx = int(parts[-1]) - (self.ref_gap - 1)
         ref_fn = "_".join(parts[:-1] + [f"{ref_idx:06d}", "leftImg8bit.png"])
         scene = parts[0]
-        ref_img = Image.open(os.path.join(self.ref_path, self.mode, scene, ref_fn))
+        ref_img = open_rgb(os.path.join(self.ref_path, self.mode, scene, ref_fn), pil)
 
         flow = np.fromfile(
             os.path.join(

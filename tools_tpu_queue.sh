@@ -45,3 +45,13 @@ else
   echo "SKIPPED crash-risky stages (r3m, pathology) — rerun with RISKY=1 after a bench capture" | tee -a "$LOG/queue.log"
 fi
 echo "QUEUE DONE ($(date +%H:%M:%S))" | tee -a "$LOG/queue.log"
+
+# Persist results into the repo: if the queue fires unattended, /tmp logs
+# die with the sandbox, but the driver commits repo files at round end.
+DST=/root/repo/bench_logs
+mkdir -p "$DST"
+for f in probe profile r3n bench feeder r3m pathology; do
+  [ -f "$LOG/$f.log" ] && tail -c 100000 "$LOG/$f.log" > "$DST/r3queue_$f.log"
+done
+cp "$LOG/queue.log" "$DST/r3queue_queue.log" 2>/dev/null
+echo "logs persisted to $DST"

@@ -33,27 +33,39 @@ class Ctx:
         return sub
 
 
+# The 6-D reshape+transpose form of the 2x2 pixel-unshuffle costs ~1.6 ms/GOP
+# in relayout copies on v5e (profiled: reshape.16 0.74 + copy.290 0.35 on the
+# keyframe, copy.353/354 0.53 on the LR batch). The slice form replaces it
+# with two stride-2 sublane slices + two minor-dim bitcasts + one concat —
+# bitwise-identical channel order dy*2c + (dx*c + cc).
+USE_S2D_SLICE_UNSHUFFLE = False
+
+
 def _conv_s2d_stem(p, x):
     """Exact 7x7/stride-2/pad-3 conv via 2x2 space-to-depth (see conv2d)."""
-    import numpy as _np
-
     w = p["weight"]  # [7, 7, C, O]
     n, h, wd, c = x.shape
     # pixel-unshuffle: channel index dy*2c + dx*c + cc
-    z = x.reshape(n, h // 2, 2, wd // 2, 2, c)
-    z = jnp.transpose(z, (0, 1, 3, 2, 4, 5)).reshape(n, h // 2, wd // 2, 4 * c)
+    if USE_S2D_SLICE_UNSHUFFLE:
+        a = x[:, 0::2].reshape(n, h // 2, wd // 2, 2 * c)
+        b = x[:, 1::2].reshape(n, h // 2, wd // 2, 2 * c)
+        z = jnp.concatenate([a, b], axis=-1)
+    else:
+        z = x.reshape(n, h // 2, 2, wd // 2, 2, c)
+        z = jnp.transpose(z, (0, 1, 3, 2, 4, 5)).reshape(n, h // 2, wd // 2, 4 * c)
 
-    # scatter the 49 taps into the [4, 4, 4C, O] kernel (static indexing —
-    # XLA folds the gather of w slices into copies)
-    rows = _np.array([((a + 1) % 2, (a - 3 - ((a + 1) % 2)) // 2 + 2) for a in range(7)])
-    w4 = jnp.zeros((4, 4, 4 * c, w.shape[3]), w.dtype)
-    for a in range(7):
-        dy, ai = int(rows[a][0]), int(rows[a][1])
-        for b in range(7):
-            dx, bi = int(rows[b][0]), int(rows[b][1])
-            w4 = w4.at[ai, bi, dy * 2 * c + dx * c : dy * 2 * c + dx * c + c, :].set(
-                w[a, b]
-            )
+    # Tap a of the 7x7 kernel lands at 4x4-kernel row ai with input parity
+    # dy, where dy=(a+1)%2 and ai=(a-3-dy)//2+2 — equivalently the PADDED tap
+    # index a+1 equals 2*ai+dy. So one leading zero-pad on each spatial axis
+    # followed by a [4,2,4,2,C,O] reshape places every tap: index
+    # [ai,dy,bi,dx] = w[a,b], with the (ai=0,dy=0)/(bi=0,dx=0) rows landing
+    # on the zero padding (the taps the 4x4 kernel never uses). Channel
+    # order dy*2c+dx*c+cc is the (dy,dx,cc) transpose. Three ops instead of
+    # a 49-step .at[].set chain (each set is a separate device op; the chain
+    # cost ~0.5 ms/call per stem on v5e), bitwise-identical placement.
+    wp = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    w4 = wp.reshape(4, 2, 4, 2, c, w.shape[3])
+    w4 = jnp.transpose(w4, (0, 2, 1, 3, 4, 5)).reshape(4, 4, 4 * c, w.shape[3])
 
     out = jax.lax.conv_general_dilated(
         z,

@@ -97,8 +97,34 @@ def main():
         return
     print(f"\ndevice total {total/1e3/CALLS:.2f} ms/call over {len(agg)} op names")
     print(f"{'op':<72s} {'ms/call':>8s} {'n':>5s}")
-    for name, us in sorted(agg.items(), key=lambda kv: -kv[1])[:45]:
+    top = sorted(agg.items(), key=lambda kv: -kv[1])[:45]
+    for name, us in top:
         print(f"{name[:72]:<72s} {us/1e3/CALLS:8.3f} {cnt[name]:5d}")
+
+    # exact attribution: the trace and this compile share the process (and
+    # the jit fn object), so HLO op names match — map each top op to its
+    # definition (output shape/layout + source file:line)
+    import re
+    compiled = pipe._step.lower(hr_params, lr_params, kf, fr, (fx, fy)).compile()
+    txt = compiled.as_text()
+    defs = {}
+    for ln in txt.splitlines():
+        m = re.match(r"\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(\S+)\s+(\w+)\(", ln)
+        if m:
+            defs[m.group(1)] = (m.group(2), m.group(3), ln)
+    print("\n## attribution (same-process compile)")
+    for name, us in top:
+        base = name.split("(")[0]
+        d = defs.get(base)
+        if d is None:
+            print(f"{base:<40s} (no HLO def — dispatch/annotation event)")
+            continue
+        shape, opcode, ln = d
+        src = re.search(r'source_file="([^"]+)" source_line=(\d+)', ln)
+        where = f"{src.group(1).split('/')[-1]}:{src.group(2)}" if src else "?"
+        opn = re.search(r'op_name="([^"]+)"', ln)
+        print(f"{base:<28s} {us/1e3/CALLS:7.3f}  {opcode:<12s} {shape:<44s} "
+              f"{where:<22s} {opn.group(1)[:60] if opn else ''}")
 
 
 if __name__ == "__main__":

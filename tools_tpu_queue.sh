@@ -32,7 +32,7 @@ run probe 300 python -c "import jax; print(jax.devices())" || {
   echo "tunnel still down; aborting" | tee -a "$LOG/queue.log"; exit 1; }
 
 run profile   2400 python tools_profile_gop.py
-run r3n       5400 python tools_probe_r3n.py
+run r3r       1800 python tools_probe_r3r.py
 run bench     3600 python bench.py
 run feeder    5400 python tools_bench_feeder_tpu.py 30
 # Crash-risky stages (r3m variant d + the pathology retest can wedge the
@@ -50,7 +50,7 @@ echo "QUEUE DONE ($(date +%H:%M:%S))" | tee -a "$LOG/queue.log"
 # die with the sandbox, but the driver commits repo files at round end.
 DST=/root/repo/bench_logs
 mkdir -p "$DST"
-for f in probe profile r3n bench feeder r3m pathology; do
+for f in probe profile r3r r3n bench feeder r3m pathology; do
   [ -f "$LOG/$f.log" ] && tail -c 100000 "$LOG/$f.log" > "$DST/r3queue_$f.log"
 done
 cp "$LOG/queue.log" "$DST/r3queue_queue.log" 2>/dev/null

@@ -83,6 +83,42 @@ def _apply_hw_matrices(x, mh, mw):
     return y.astype(dtype)
 
 
+# Gather strategy for the lerp H-pass: merge every dim LEFT of the resampled
+# axis into it and gather rows of the merged-major axis. An inner-axis gather
+# of [N, H, ...] makes XLA relayout the whole operand to put H major
+# (measured ~2 ms/GOP of pure copy/transpose traffic in the production
+# camvid-bise18 program, tools_probe_r3r); rows of a [N*H, ...] view are
+# already major, so the same take() is a natural-layout row gather. The
+# merged index table is host-side numpy (constant-folded). Bit-exact: the
+# elements and the lerp arithmetic are unchanged. Flag so probes can A/B.
+# (Measured effect, tools_probe_r3r: kills the f32 flow-plane relayouts;
+# the bf16 frame gather still relayouts, so frame DOWNsamples take the
+# H_DOWNSAMPLE_MATMUL path below instead.)
+MERGED_ROW_GATHER = True
+
+# H-pass strategy for >=2x downsampling in resize_bilinear — see the comment
+# at its use site. Module flags so probes can A/B either strategy.
+H_DOWNSAMPLE_MATMUL = True
+
+
+def _take_rows(x, idx_np, axis):
+    """jnp.take along `axis` with the leading dims merged into the indexed
+    axis (see MERGED_ROW_GATHER above). idx_np: 1-D numpy index array."""
+    if not MERGED_ROW_GATHER or axis == 0 or x.ndim == 0:
+        return jnp.take(x, jnp.asarray(idx_np), axis=axis)
+    axis = axis % x.ndim
+    lead = x.shape[:axis]
+    n_lead = int(np.prod(lead)) if lead else 1
+    if n_lead == 1 and axis == 0:
+        return jnp.take(x, jnp.asarray(idx_np), axis=0)
+    h = x.shape[axis]
+    xm = x.reshape((n_lead * h,) + x.shape[axis + 1:])
+    merged = (np.arange(n_lead, dtype=idx_np.dtype)[:, None] * h
+              + idx_np[None, :]).reshape(-1)
+    y = jnp.take(xm, jnp.asarray(merged), axis=0)
+    return y.reshape(lead + (len(idx_np),) + x.shape[axis + 1:])
+
+
 def _lerp_axis(x, in_size, out_size, align_corners, axis):
     """1-D linear resample along `axis` via two gathers + lerp.
 
@@ -91,8 +127,8 @@ def _lerp_axis(x, in_size, out_size, align_corners, axis):
     [360,480,64] map costs ~58 GFLOPs as matmuls — more than the whole
     ResNet-18 backbone — vs ~0.1 GFLOP here)."""
     i0, i1, w = _linear_gather(in_size, out_size, align_corners)
-    x0 = jnp.take(x, jnp.asarray(i0), axis=axis)
-    x1 = jnp.take(x, jnp.asarray(i1), axis=axis)
+    x0 = _take_rows(x, i0, axis)
+    x1 = _take_rows(x, i1, axis)
     shape = [1] * x.ndim
     shape[axis] = out_size
     wb = jnp.asarray(w).reshape(shape).astype(x.dtype)
@@ -120,12 +156,27 @@ def resize_bilinear(x, out_hw, align_corners: bool):
         y = x
     elif x.shape[-1] <= 4:
         # small-C fast path (C=3 frames): merge (W, C) into one minor dim so
-        # the H-pass gathers/lerps run on full 128-lane rows instead of a
-        # C-wide (lane-padded) minor dim. Pure reshape — element math is
-        # unchanged, so bit-parity holds.
+        # the H-pass runs on full 128-lane rows instead of a C-wide
+        # (lane-padded) minor dim. Pure reshape — element math is unchanged.
         c = x.shape[-1]
         xm = x.reshape(x.shape[:-2] + (w * c,))
-        ym = _lerp_axis(xm, h, oh, align_corners, xm.ndim - 2)
+        if H_DOWNSAMPLE_MATMUL and oh * 2 <= h:
+            # >=2x H DOWNsample (frame 0.5x resizes): constant-matrix
+            # matmul over the merged form. The H-axis gather makes XLA
+            # relayout the whole operand around the indexed axis
+            # (~1.5 ms/GOP of copy/transpose traffic on the [11,720,960,3]
+            # frame downsize, tools_probe_r3r) — a contraction runs in
+            # place. Same per-output arithmetic as resize_bilinear_padded
+            # (one accumulator rounding instead of per-term lerp rounding —
+            # may differ from the gather form by 1 ulp in bf16;
+            # argmax-stable, consumer parity tests compare at tolerance).
+            mh = jnp.asarray(_linear_matrix(h, oh, align_corners))
+            if x.dtype == jnp.float32:
+                ym = jnp.einsum("ph,...hx->...px", mh, xm, precision="highest")
+            else:
+                ym = jnp.einsum("ph,...hx->...px", mh.astype(x.dtype), xm)
+        else:
+            ym = _lerp_axis(xm, h, oh, align_corners, xm.ndim - 2)
         y = ym.reshape(ym.shape[:-1] + (w, c))
     else:
         y = _lerp_axis(x, h, oh, align_corners, x.ndim - 3)

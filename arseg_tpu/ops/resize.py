@@ -103,14 +103,17 @@ H_DOWNSAMPLE_MATMUL = True
 
 def _take_rows(x, idx_np, axis):
     """jnp.take along `axis` with the leading dims merged into the indexed
-    axis (see MERGED_ROW_GATHER above). idx_np: 1-D numpy index array."""
-    if not MERGED_ROW_GATHER or axis == 0 or x.ndim == 0:
+    axis (see MERGED_ROW_GATHER above). idx_np: 1-D numpy index array.
+
+    The merge applies only to non-minor axes: a minor-axis (lane) gather is
+    already natural-layout, and merging there would flatten the operand to
+    1-D and constant-fold an N*H*out-entry index table (~MBs of HLO
+    constants at flow-plane scale) for no relayout win."""
+    axis = axis % x.ndim if x.ndim else 0
+    if not MERGED_ROW_GATHER or axis == 0 or axis == x.ndim - 1:
         return jnp.take(x, jnp.asarray(idx_np), axis=axis)
-    axis = axis % x.ndim
     lead = x.shape[:axis]
-    n_lead = int(np.prod(lead)) if lead else 1
-    if n_lead == 1 and axis == 0:
-        return jnp.take(x, jnp.asarray(idx_np), axis=0)
+    n_lead = int(np.prod(lead))
     h = x.shape[axis]
     xm = x.reshape((n_lead * h,) + x.shape[axis + 1:])
     merged = (np.arange(n_lead, dtype=idx_np.dtype)[:, None] * h

@@ -30,7 +30,34 @@ SHAPES = [
     ((1, 17, 13, 3), (30, 40)),
     ((1, 30, 40, 3), (17, 13)),
     ((1, 8, 8, 4), (8, 8)),
+    # small C + >=2x H downsample: exercises the H_DOWNSAMPLE_MATMUL branch
+    # (C<=4 and oh*2<=h) — the frame-0.5x production path (ADVICE r3 #1)
+    ((2, 64, 48, 3), (32, 24)),
 ]
+
+
+def test_bilinear_flag_paths_bit_identical():
+    """The three H-pass strategies (merged-row gather, plain gather,
+    H-downsample matmul) must be bit-identical in f32 on the production
+    frame-downsize shape class (small C, >=2x H downsample)."""
+    from arseg_tpu.ops import resize as rz
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 64, 48, 3).astype(np.float32))
+    saved = (rz.MERGED_ROW_GATHER, rz.H_DOWNSAMPLE_MATMUL)
+    outs = {}
+    try:
+        for mrg in (False, True):
+            for hdm in (False, True):
+                rz.MERGED_ROW_GATHER, rz.H_DOWNSAMPLE_MATMUL = mrg, hdm
+                outs[(mrg, hdm)] = np.asarray(
+                    resize_bilinear(x, (32, 24), align_corners=True)
+                )
+    finally:
+        rz.MERGED_ROW_GATHER, rz.H_DOWNSAMPLE_MATMUL = saved
+    base = outs[(False, False)]
+    for key, got in outs.items():
+        np.testing.assert_array_equal(got, base, err_msg=f"flags={key}")
 
 
 @pytest.mark.parametrize("shape,out_hw", SHAPES)

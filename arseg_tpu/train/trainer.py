@@ -234,6 +234,7 @@ def train_phase1(
     accum_steps=1,
     train_dtype=None,
     resume=None,
+    nanmean=False,
 ):
     if resume and snapshot:
         raise ValueError("resume and snapshot are mutually exclusive: resume "
@@ -299,7 +300,7 @@ def train_phase1(
     loop = TrainLoop(mesh, verbose=verbose)
     params = replicate(params, loop.mesh)
 
-    evaluator = EvalConstRes(scale=scale, ignore_label=255)
+    evaluator = EvalConstRes(scale=scale, ignore_label=255, nanmean=nanmean)
     rng = jax.random.fold_in(jax.random.PRNGKey(seed + 1), start_epoch)
     max_miou, history = (max_miou0 if resume else 0.0), []
     for epoch in range(start_epoch, epochs):
@@ -358,6 +359,7 @@ def train_phase2(
     accum_steps=1,
     train_dtype=None,
     resume=None,
+    nanmean=False,
 ):
     if resume and snapshot:
         raise ValueError("resume and snapshot are mutually exclusive: resume "
@@ -415,7 +417,15 @@ def train_phase2(
 
     kw = dict(atten_type=atten_type, atten_k=atten_k, fuse_version=fuse_version)
     model = build_train_model(model_type, dataset, backend, n_classes, fuse=True, **kw)
-    teacher_model = build_train_model(model_type, dataset, backend, n_classes, fuse=False, **kw)
+    # The teacher is built from the SAME fuse class as the student
+    # (reference `train_pair.py:178-254` constructs highres_net from the
+    # fuse registry for every model_type/fuse_version): its normal-mode
+    # forward then taps the feature at the STUDENT'S fusion depth — the
+    # 512-ch backbone feature for camvid fuse_version=2, the stem for V3,
+    # the 512-ch pre-final-conv feature for cityscapes-pspnet (the plain
+    # semseg model returns only (out, aux) — no feature at all). The fuse
+    # params the teacher tree lacks are never touched in normal mode.
+    teacher_model = build_train_model(model_type, dataset, backend, n_classes, fuse=True, **kw)
 
     if teacher_snapshot is None:
         raise ValueError("phase 2 requires --teacher_snapshot (the HR model)")
@@ -462,8 +472,8 @@ def train_phase2(
     loop = TrainLoop(mesh, verbose=verbose)
     params = replicate(params, loop.mesh)
 
-    eval_stage2 = EvalAlterRes(scale=scale, ignore_label=255)
-    eval_stage1 = EvalConstRes(scale=scale, ignore_label=255)
+    eval_stage2 = EvalAlterRes(scale=scale, ignore_label=255, nanmean=nanmean)
+    eval_stage1 = EvalConstRes(scale=scale, ignore_label=255, nanmean=nanmean)
     rng = jax.random.fold_in(jax.random.PRNGKey(seed + 1), start_epoch)
     max_miou, history = (max_miou0 if resume else 0.0), []
     for epoch in range(start_epoch, epochs):

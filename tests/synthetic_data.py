@@ -19,27 +19,31 @@ def _png(path, arr):
     Image.fromarray(arr).save(path)
 
 
-def make_camvid_tree(root, gop=4, bitrate="3M", seed=0, n_classes=12, splits=("test",)):
+def make_camvid_tree(root, gop=4, bitrate="3M", seed=0, n_classes=12, splits=("test",),
+                     h=H, w=W, flow_shape=None, dataset_idxs=DATASET_IDXS):
     """Build {root}/camvid-sequence/{bitrate}-GOP{gop}/... for all ref_gaps
     plus labels, mirroring the preprocessing layout
-    (pre-process/generate_compressed_dataset_camvid.py, README.md:61-81)."""
+    (pre-process/generate_compressed_dataset_camvid.py, README.md:61-81).
+    h/w/flow_shape default to the tiny test geometry; pass 720/960 and
+    (720, 960, 2) for real-CamVid-shape measurement trees."""
     rng = np.random.RandomState(seed)
+    flow_shape = flow_shape or FLOW_SHAPE
     seq_root = os.path.join(root, "camvid-sequence", f"{bitrate}-GOP{gop}")
 
     frames = {}
-    for d_idx in DATASET_IDXS:
+    for d_idx in dataset_idxs:
         dec_idx = d_idx - 6690 + 31
         for back in range(gop):
-            frames[dec_idx - back] = rng.randint(0, 255, (H, W, 3), np.uint8)
+            frames[dec_idx - back] = rng.randint(0, 255, (h, w, 3), np.uint8)
 
     for ref_gap in range(1, gop + 1):
         dist = ref_gap - 1
         dec_dir = os.path.join(seq_root, f"decoded_GOP{gop}_dist_{dist}")
         mv_dir = os.path.join(seq_root, f"MVmap_GOP{gop}_dist_{dist}", SEQ)
-        for d_idx in DATASET_IDXS:
+        for d_idx in dataset_idxs:
             name = f"{SEQ}_{d_idx:06d}"
             img = frames[d_idx - 6690 + 31]
-            label = rng.randint(0, n_classes, (H, W)).astype(np.uint8)
+            label = rng.randint(0, n_classes, (h, w)).astype(np.uint8)
             label[0, 0] = 255  # exercise ignore_label
             for split in splits:
                 _png(os.path.join(dec_dir, split, f"{name}.png"), img)
@@ -48,7 +52,7 @@ def make_camvid_tree(root, gop=4, bitrate="3M", seed=0, n_classes=12, splits=("t
                     label,
                 )
             if dist > 0:
-                flow = rng.randint(-8, 8, FLOW_SHAPE).astype(np.int16)
+                flow = rng.randint(-8, 8, flow_shape).astype(np.int16)
                 os.makedirs(mv_dir, exist_ok=True)
                 flow.tofile(os.path.join(mv_dir, f"{name}.bin"))
 

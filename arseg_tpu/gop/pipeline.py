@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from arseg_tpu.ops import resize_bilinear, warp_feature, scale_and_resize_flow
+from arseg_tpu.ops.warp import pad_for_warp
 from arseg_tpu.ops.warp import _resize_plane_bilinear
 
 
@@ -132,14 +133,17 @@ class ARPipeline:
         except TypeError:
             return self.lr_model.forward_phase2(lr_params, feat, warped)
 
-    def _fuse_branch(self, lr_params, feat, flow_planes, ref_feat, out_hw):
+    def _fuse_branch(self, lr_params, feat, flow_planes, ref_feat, out_hw,
+                     ref_prepadded=False):
         """Warp + CReFF + head for a batch of frames whose phase-1 features
         are already computed. feat: [n, h1, w1, C]; flow_planes at the HR
-        feature resolution."""
+        feature resolution. ref_prepadded: ref_feat already carries
+        pad_for_warp's border (hoisted out of the caller's per-frame map —
+        the pad is loop-invariant but XLA re-materializes it per frame)."""
         n = feat.shape[0]
         h, w = out_hw
         ref_rep = jnp.broadcast_to(ref_feat, (n,) + ref_feat.shape[1:])
-        warped = warp_feature(ref_rep, flow_planes)
+        warped = warp_feature(ref_rep, flow_planes, prepadded=ref_prepadded)
         # shared dispatch predicate with the eval engine (models.phase2_argmax_head)
         from arseg_tpu.models import phase2_argmax_head
 
@@ -189,12 +193,13 @@ class ARPipeline:
             align_corners=True,
         )
         feat = _as_tuple(self.lr_model.forward_phase1(lr_params, x_lr))[-1]
-        ref_rep = jnp.repeat(ref_feat, g1, axis=0)  # frame i's own keyframe
+        # frame i's own keyframe, padded for the warp once (not per frame)
+        ref_rep = jnp.repeat(pad_for_warp(ref_feat), g1, axis=0)
 
         preds = jax.lax.map(
             lambda args: self._fuse_branch(
                 lr_params, args[0][None], (args[1][None], args[2][None]),
-                args[3][None], (h, w),
+                args[3][None], (h, w), ref_prepadded=True,
             )[0],
             (feat, fx, fy, ref_rep),
         )
@@ -247,10 +252,11 @@ class ARPipeline:
             # (hoisting the CReFF lr->HR-grid upsample out of the map was
             # measured perf-neutral — 746.7 vs 748.7 fps, within noise — so
             # the per-frame fuse keeps its own upsample)
+            ref_pad = pad_for_warp(ref_feat)  # once, not once per frame
             preds = jax.lax.map(
                 lambda args: self._fuse_branch(
                     lr_params, args[0][None], (args[1][None], args[2][None]),
-                    ref_feat, (h, w),
+                    ref_pad, (h, w), ref_prepadded=True,
                 )[0],
                 (feat, fx, fy),
             )

@@ -54,9 +54,26 @@ def grid_sample(feature, grid, align_corners: bool = False, method: str = "exact
     return _grid_sample_planes(feature, gx, gy, align_corners, method)
 
 
-def _grid_sample_planes(feature, gx, gy, align_corners, method="exact"):
-    """grid_sample on pre-split normalized-coordinate planes gx/gy [N,Hg,Wg]."""
+def pad_for_warp(feature):
+    """1-px zero border used by the zero-padding gather (see
+    _grid_sample_planes). Expose it so a caller warping the SAME source
+    many times (the GOP pipeline warps one keyframe feature to every
+    non-key frame inside a lax.map) can pad once outside the loop —
+    XLA does not hoist the loop-invariant pad (profiled 0.22 ms/GOP as
+    pad.1333 re-materializing per frame)."""
+    return jnp.pad(feature, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+
+def _grid_sample_planes(feature, gx, gy, align_corners, method="exact",
+                        prepadded=False):
+    """grid_sample on pre-split normalized-coordinate planes gx/gy [N,Hg,Wg].
+
+    prepadded=True: `feature` already carries the 1-px zero border from
+    pad_for_warp (shape [N, H+2, W+2, C]); h/w below refer to the unpadded
+    content. Bitwise-identical output to the pad-inside path."""
     n, h, w, c = feature.shape
+    if prepadded:
+        h, w = h - 2, w - 2
     if align_corners:
         ix = (gx + 1.0) * (w - 1) / 2.0
         iy = (gy + 1.0) * (h - 1) / 2.0
@@ -70,7 +87,7 @@ def _grid_sample_planes(feature, gx, gy, align_corners, method="exact"):
     wy = iy - y0
 
     # corner top-left index in the 1-px zero-padded source
-    fp = jnp.pad(feature, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    fp = feature if prepadded else jnp.pad(feature, ((0, 0), (1, 1), (1, 1), (0, 0)))
     xi = jnp.clip(x0.astype(jnp.int32) + 1, 0, w)
     yi = jnp.clip(y0.astype(jnp.int32) + 1, 0, h)
 
@@ -178,18 +195,25 @@ def _grid_sample_planes(feature, gx, gy, align_corners, method="exact"):
     return lax.cond(coherent, blocked, exact)
 
 
-def warp_feature(feature, flow, align_corners: bool = False, method: str = "exact"):
+def warp_feature(feature, flow, align_corners: bool = False, method: str = "exact",
+                 prepadded: bool = False):
     """Warp `feature` [N,H,W,C] by pixel displacements.
 
     flow: [N,H,W,2] (x, y) array, or a tuple (fx, fy) of [N,H,W] planes —
     the plane form keeps W on the TPU lane axis; a 2-channel NHWC array
     wastes 126/128 lanes of every vector op that touches it.
 
+    prepadded=True: `feature` is pad_for_warp(source) ([N,H+2,W+2,C]) and
+    `flow` is at the UNPADDED [H, W] geometry — use when the same source is
+    warped repeatedly (pad once, outside the loop).
+
     Equivalent of the reference warpFeature (`evaluation.py:61-87`): absolute
     grid = base + flow, normalized to [-1,1] by (size-1), then grid_sample
     (plane-native — the [..., 2] grid stack/unstack relayout is skipped).
     """
     n, h, w, c = feature.shape
+    if prepadded:
+        h, w = h - 2, w - 2
     if isinstance(flow, tuple):
         fx, fy = flow
     else:
@@ -200,7 +224,8 @@ def warp_feature(feature, flow, align_corners: bool = False, method: str = "exac
     vy = yy + fy.astype(jnp.float32)
     gx = 2.0 * vx / max(w - 1, 1) - 1.0
     gy = 2.0 * vy / max(h - 1, 1) - 1.0
-    return _grid_sample_planes(feature, gx, gy, align_corners, method)
+    return _grid_sample_planes(feature, gx, gy, align_corners, method,
+                               prepadded=prepadded)
 
 
 def _resize_plane_bilinear(x, out_hw, align_corners):

@@ -143,3 +143,22 @@ def test_warp_plane_flow_tuple_matches_array():
         (jnp.asarray(flow[..., 0].copy()), jnp.asarray(flow[..., 1].copy())),
     )
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_warp_feature_prepadded_bitwise_identical():
+    """pad_for_warp + prepadded=True must be bitwise-identical to the
+    pad-inside path (the GOP pipeline hoists the keyframe pad out of its
+    per-frame lax.map)."""
+    from arseg_tpu.ops.warp import pad_for_warp
+
+    rng = np.random.RandomState(7)
+    feat = rng.randn(2, 18, 26, 8).astype(np.float32)
+    fx = rng.uniform(-30, 30, size=(2, 18, 26)).astype(np.float32)
+    fy = rng.uniform(-30, 30, size=(2, 18, 26)).astype(np.float32)
+    base = warp_feature(jnp.asarray(feat), (jnp.asarray(fx), jnp.asarray(fy)))
+    pre = warp_feature(
+        pad_for_warp(jnp.asarray(feat)),
+        (jnp.asarray(fx), jnp.asarray(fy)),
+        prepadded=True,
+    )
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(pre))

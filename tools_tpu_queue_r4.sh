@@ -1,13 +1,15 @@
 #!/bin/bash
-# Round-4 TPU measurement + experiment queue. Single-client tunnel: run ONCE,
-# nothing else touching the TPU. Ordering: cheap diagnostics -> the round's
-# headline measurements -> the long synthetic-FST training block -> crash-
-# risky probes LAST (a wedged worker cannot block anything above it).
+# Round-4 TPU queue, split into two phases so the builder can interleave
+# perf probes between the cheap measurements and the long experiment block.
+# Single-client tunnel: run ONE phase at a time, nothing else on the TPU.
 #
-# Usage: bash tools_tpu_queue_r4.sh [logdir] [synth_root]
+# Usage:
+#   bash tools_tpu_queue_r4.sh measure [logdir]            # ~1h diagnostics
+#   bash tools_tpu_queue_r4.sh experiment [logdir] [synth] # FST block + probes
 set -u
-LOG=${1:-/tmp/tpu_queue_r4}
-SYNTH=${2:-/tmp/arseg_synth}
+PHASE=${1:?phase: measure|experiment}
+LOG=${2:-/tmp/tpu_queue_r4}
+SYNTH=${3:-/tmp/arseg_synth}
 mkdir -p "$LOG"
 cd /root/repo
 
@@ -24,7 +26,7 @@ run() {
 persist() {
   DST=/root/repo/bench_logs
   mkdir -p "$DST"
-  for f in probe profile r3s_rerun protocol_walltime benchv2 bench \
+  for f in probe profile r3s_rerun protocol_walltime benchv2 bench r4perf \
            gen train_bise18 eval_bise18 train_psp18 eval_psp18 \
            train_psp18v2 eval_psp18v2 evalbf16_bise18 r4a pathology; do
     [ -f "$LOG/$f.log" ] && tail -c 120000 "$LOG/$f.log" > "$DST/r4queue_$f.log"
@@ -36,18 +38,31 @@ trap persist EXIT
 run probe 300 python -c "import jax; print(jax.devices())" || {
   echo "tunnel down; aborting" | tee -a "$LOG/queue.log"; exit 1; }
 
-# -- diagnostics + round headline measurements -----------------------------
-run profile           2400 python tools_profile_gop.py
-run r3s_rerun         2400 python probes/r3/tools_probe_r3s.py   # ADVICE r3 #4
-run protocol_walltime 3600 python tools_protocol_walltime_tpu.py 4 bise18
-run benchv2           2400 python tools_synth_e2e.py benchv2
-run bench             4500 python bench.py
+if [ "$PHASE" = measure ]; then
+  # profile already captured this session (bench_logs/r4queue_profile.log)
+  [ -f "$LOG/profile.log" ] || run profile 2400 python tools_profile_gop.py
+  run r3s_rerun         2400 python probes/r3/tools_probe_r3s.py   # ADVICE r3 #4
+  run protocol_walltime 3600 python tools_protocol_walltime_tpu.py 4 bise18
+  run benchv2           2400 python tools_synth_e2e.py benchv2
+  run bench             4500 python bench.py
+  echo "MEASURE PHASE DONE ($(date +%H:%M:%S))" | tee -a "$LOG/queue.log"
+  persist
+  exit 0
+fi
 
-# -- synthetic end-to-end FST experiment (VERDICT #2/#3/#4) ----------------
-if [ ! -d "$SYNTH/camvid-sequence/3M-GOP12/decoded_GOP12_dist_0" ]; then
-  run gen 7200 python tools_synth_e2e.py gen --root "$SYNTH"
+# -- experiment phase -------------------------------------------------------
+if [ ! -f "$SYNTH/.gen_done" ]; then
+  run gen 7200 env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+    python tools_synth_e2e.py gen --root "$SYNTH"
+  [ -d "$SYNTH/camvid-sequence/3M-GOP12/decoded_GOP12_dist_0" ] && touch "$SYNTH/.gen_done"
 fi
 for cfg in bise18 psp18 psp18v2; do
+  if [ "$cfg" = psp18v2 ] && [ -d "$SYNTH/checkpoints/psp18/HR" ] \
+     && [ ! -d "$SYNTH/checkpoints/psp18v2/HR" ]; then
+    # phase-1 HR is fuse-version-independent: share psp18's teacher
+    mkdir -p "$SYNTH/checkpoints/psp18v2"
+    cp -r "$SYNTH/checkpoints/psp18/HR" "$SYNTH/checkpoints/psp18v2/HR"
+  fi
   run "train_$cfg" 14400 python tools_synth_e2e.py train --root "$SYNTH" --config "$cfg"
   run "eval_$cfg"   7200 python tools_synth_e2e.py eval  --root "$SYNTH" --config "$cfg"
 done

@@ -10,6 +10,7 @@ evaluation-result artifacts.
 """
 
 import os
+import time
 
 import numpy as np
 
@@ -118,9 +119,11 @@ def run_protocol(
     hr_model = build_model(backend, fuse=False)
     hr_params = load_params(hr_snapshot, backend)
 
+    t_start = time.perf_counter()
+
     def log(*a):
         if verbose:
-            print(*a, flush=True)
+            print(f"[{time.perf_counter() - t_start:7.1f}s]", *a, flush=True)
 
     def make_loader(ds):
         # never drop the ragged tail: the engines ignore-label-pad it to

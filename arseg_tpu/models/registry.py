@@ -67,11 +67,26 @@ MODELS = {
 }
 
 
+_MODEL_CACHE = {}
+
+
 def build_model(backend: str, fuse: bool = False, **kw):
     backend = backend.lower()
     if backend not in MODELS:
         raise KeyError(f"unknown backend {backend}; options: {sorted(MODELS)}")
-    return MODELS[backend](fuse, **kw)
+    # Memoize by construction args: models are stateless (params live outside,
+    # init/apply style), and the eval engines key their jitted steps on model
+    # IDENTITY (engine.py lru_caches) — without this, every run_protocol call
+    # builds fresh model objects and re-traces + re-lowers all 720x960 engine
+    # programs (~minutes of host work per protocol invocation).
+    key = (backend, bool(fuse), tuple(sorted(kw.items())))
+    try:
+        m = _MODEL_CACHE.get(key)
+    except TypeError:  # unhashable kwarg: fall back to uncached construction
+        return MODELS[backend](fuse, **kw)
+    if m is None:
+        m = _MODEL_CACHE[key] = MODELS[backend](fuse, **kw)
+    return m
 
 
 def phase2_argmax_head(model, warped_hw, out_hw):

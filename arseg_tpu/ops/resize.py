@@ -94,7 +94,13 @@ def _apply_hw_matrices(x, mh, mw):
 # (Measured effect, tools_probe_r3r: kills the f32 flow-plane relayouts;
 # the bf16 frame gather still relayouts, so frame DOWNsamples take the
 # H_DOWNSAMPLE_MATMUL path below instead.)
-MERGED_ROW_GATHER = True
+# Default OFF since round 4: with the minor-axis restriction in place and
+# H_DOWNSAMPLE_MATMUL covering the frame downsamples, the r3s rerun on the
+# production GOP program measured matmul-only at 15.50/15.54 ms/GOP vs
+# 15.86/15.72 with both flags ON, twice in one session
+# (bench_logs/r4queue_r3s_rerun.log + r4queue_queue.log) — the remaining
+# merged-row gathers now cost ~0.35 ms/GOP more than the plain take path.
+MERGED_ROW_GATHER = False
 
 # H-pass strategy for >=2x downsampling in resize_bilinear — see the comment
 # at its use site. Module flags so probes can A/B either strategy.

@@ -58,7 +58,7 @@ for mode, name in (((1, 0, 0), "HR"), ((0, 1, 0), "LR"), ((0, 0, 1), "AR")):
     run_protocol(
         dataset="camvid", backbone=BACKBONE, mode=mode, gop=GOP,
         test_scale=0.5, data_root=os.path.join(tmp, "data"), ckpt_root=ck,
-        result_dir=os.path.join(tmp, "results"), num_workers=2, verbose=False,
+        result_dir=os.path.join(tmp, "results"), num_workers=2, verbose=True,
         flow_shape=(H, W, 2), dtype=jnp.bfloat16,
     )
     times[name] = time.perf_counter() - t0
@@ -69,7 +69,7 @@ for mode, name in (((1, 0, 0), "HR"), ((0, 1, 0), "LR"), ((0, 0, 1), "AR")):
     run_protocol(
         dataset="camvid", backbone=BACKBONE, mode=mode, gop=GOP,
         test_scale=0.5, data_root=os.path.join(tmp, "data"), ckpt_root=ck,
-        result_dir=os.path.join(tmp, "results"), num_workers=2, verbose=False,
+        result_dir=os.path.join(tmp, "results"), num_workers=2, verbose=True,
         flow_shape=(H, W, 2), dtype=jnp.bfloat16,
     )
     warm = time.perf_counter() - t0

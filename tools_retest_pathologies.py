@@ -91,6 +91,39 @@ print("OK", np.asarray(out[(0, 0, 0)]))
 """
 
 
+CASE_BATCHED_WARP = """
+import sys; sys.path.insert(0, "/root/repo")
+import numpy as np, jax, jax.numpy as jnp
+from arseg_tpu.utils.compile_cache import enable_compile_cache
+from arseg_tpu.ops import warp_feature
+from arseg_tpu.ops.warp import _resize_plane_bilinear
+from arseg_tpu.ops.pallas_creff import creff_qkv_fused
+enable_compile_cache()
+N, FH, FW, C = 11, 90, 120, 256
+H, W = 720, 960
+rng = np.random.RandomState(0)
+ref = jnp.asarray(rng.randn(1, FH, FW, C).astype(np.float32)).astype(jnp.bfloat16)
+feat = jnp.asarray(rng.randn(N, FH, FW, C).astype(np.float32)).astype(jnp.bfloat16)
+fxa = jnp.asarray(rng.uniform(-16, 16, (N, H, W)).astype(np.float32))
+fya = jnp.asarray(rng.uniform(-16, 16, (N, H, W)).astype(np.float32))
+mk = lambda: {"weight": jnp.asarray(rng.randn(3, 3, 1, C).astype(np.float32)).astype(jnp.bfloat16),
+              "bias": jnp.asarray(rng.randn(C).astype(np.float32)).astype(jnp.bfloat16)}
+wq, wk, wv = mk(), mk(), mk()
+def creff_one(f, wp):
+    out = creff_qkv_fused(f[None], wp[None], wq, wk, wv, 7, 7)
+    return jnp.argmax(out[0, ..., :12], axis=-1).astype(jnp.int32)
+@jax.jit
+def prog(ref, feat, fxa, fya):
+    s = jnp.float32(FH / H)
+    fxr = _resize_plane_bilinear(fxa * s, (FH, FW), True)
+    fyr = _resize_plane_bilinear(fya * s, (FH, FW), True)
+    ref_rep = jnp.broadcast_to(ref, (N,) + ref.shape[1:])
+    warped = warp_feature(ref_rep, (fxr, fyr))
+    return jax.lax.map(lambda a: creff_one(a[0], a[1]), (feat, warped))
+print("OK", np.asarray(prog(ref, feat, fxa, fya)[(0, 0, 0)]))
+"""
+
+
 def run(tag, code):
     t0 = time.perf_counter()
     try:
@@ -111,10 +144,27 @@ def run(tag, code):
 
 
 if __name__ == "__main__":
+    # Status on jax/Mosaic 0.9, v5e, 2026-08-19 (bench_logs/r4queue_pathology.log
+    # + r4queue_r4a.log):
+    #   lr_chunk2-bise18      PASS (pathology GONE this toolchain; the legacy
+    #                         chunked path stays non-default — p1_batched
+    #                         subsumed its memory-bounding role and is faster)
+    #   batch8-phase1-psp18   STILL-BROKEN (production uses --accum_steps)
+    #   fused-bise18-head     STILL-BROKEN (XLA planes head shipped instead)
+    #   batched-warp-n11      STILL-BROKEN — minimized by probes/r4/
+    #                         tools_probe_r4a.py: flow-plane bilinear resize
+    #                         producer + batched n=11 warp + lax.map(CReFF)
+    #                         hangs the compile; drop ANY one ingredient
+    #                         (resize producer / conv producer instead /
+    #                         single CReFF) and it passes. Production routes
+    #                         around it with the per-frame warp inside the map.
     run("lr_chunk2-bise18", CASE_LR_CHUNK)
     run("batch8-phase1-psp18", CASE_BATCH8_TRAIN)
     # Mosaic 0.9 rejects the channel-major head dot ("unsupported shape
     # cast", nn/bisenet.py:forward_phase2_argmax docstring). PASS here =>
     # flip USE_FUSED_UPSAMPLE_HEAD on and re-measure the head delta.
     run("fused-bise18-head", CASE_FUSED_HEAD)
+    # PASS here => retry ARPipeline batched-warp variants (PERF.md r3 GOP
+    # budget: probe B's batched-p1/batched-fuse were the blocked designs).
+    run("batched-warp-n11", CASE_BATCHED_WARP)
     print("DONE", flush=True)

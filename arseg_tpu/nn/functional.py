@@ -38,7 +38,10 @@ class Ctx:
 # keyframe, copy.353/354 0.53 on the LR batch). The slice form replaces it
 # with two stride-2 sublane slices + two minor-dim bitcasts + one concat —
 # bitwise-identical channel order dy*2c + (dx*c + cc).
-USE_S2D_SLICE_UNSHUFFLE = False
+# Default ON since round 4: measured on the production bise18 GOP program
+# (probes/r3/tools_probe_r3q.py, bench_logs/r4queue_r3q_s2d.log) —
+# 15.71 -> 15.48 ms/GOP, class-map agreement 1.0.
+USE_S2D_SLICE_UNSHUFFLE = True
 
 
 def _conv_s2d_stem(p, x):

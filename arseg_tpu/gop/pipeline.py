@@ -28,6 +28,12 @@ from arseg_tpu.ops import resize_bilinear, warp_feature, scale_and_resize_flow
 from arseg_tpu.ops.warp import pad_for_warp
 from arseg_tpu.ops.warp import _resize_plane_bilinear
 
+# Trace-time unroll of the per-frame fuse loop in the p1_batched single-GOP
+# step (11 iterations at GOP 12). OFF = lax.map (loop-carried; the compiler
+# serializes frame i's CReFF behind frame i-1's). Flag for probe A/B —
+# see probes/r4/tools_probe_r4c.py before changing the default.
+FUSE_UNROLL = False
+
 
 def _as_tuple(x):
     return x if isinstance(x, tuple) else (x,)
@@ -253,13 +259,27 @@ class ARPipeline:
             # measured perf-neutral — 746.7 vs 748.7 fps, within noise — so
             # the per-frame fuse keeps its own upsample)
             ref_pad = pad_for_warp(ref_feat)  # once, not once per frame
-            preds = jax.lax.map(
-                lambda args: self._fuse_branch(
-                    lr_params, args[0][None], (args[1][None], args[2][None]),
-                    ref_pad, (h, w), ref_prepadded=True,
-                )[0],
-                (feat, fx, fy),
-            )
+            if FUSE_UNROLL:
+                # trace-time unroll of the G-1 fuse iterations: retires the
+                # while-loop bookkeeping and lets XLA overlap frame i+1's
+                # warp gather with frame i's CReFF (the loop-carried form
+                # serializes them); identical math per frame
+                preds = jnp.concatenate([
+                    self._fuse_branch(
+                        lr_params, feat[i : i + 1],
+                        (fx[i : i + 1], fy[i : i + 1]),
+                        ref_pad, (h, w), ref_prepadded=True,
+                    )
+                    for i in range(g1)
+                ], axis=0)
+            else:
+                preds = jax.lax.map(
+                    lambda args: self._fuse_branch(
+                        lr_params, args[0][None], (args[1][None], args[2][None]),
+                        ref_pad, (h, w), ref_prepadded=True,
+                    )[0],
+                    (feat, fx, fy),
+                )
         else:
             c = min(self.lr_chunk, g1)
             pad = (-g1) % c

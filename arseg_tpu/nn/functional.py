@@ -38,10 +38,14 @@ class Ctx:
 # keyframe, copy.353/354 0.53 on the LR batch). The slice form replaces it
 # with two stride-2 sublane slices + two minor-dim bitcasts + one concat —
 # bitwise-identical channel order dy*2c + (dx*c + cc).
-# Default ON since round 4: measured on the production bise18 GOP program
-# (probes/r3/tools_probe_r3q.py, bench_logs/r4queue_r3q_s2d.log) —
-# 15.71 -> 15.48 ms/GOP, class-map agreement 1.0.
-USE_S2D_SLICE_UNSHUFFLE = True
+# Measured round 4 (probes/r3/tools_probe_r3q.py + profile2): the slice form
+# is a large win on the per-frame HR program (batch 1: the 6-D transpose of
+# [1,360,2,480,2,3] cost ~1.1 ms/frame; HR-everyframe 311 -> 453 fps) and
+# ~neutral on the batched LR stems (n=11: the slice-reshape relayout
+# [11,180,240,6] copies ~1.08 ms/GOP, about what the transposes cost).
+# "auto" = slice form iff n == 1 — each call site gets its measured winner.
+# True/False force one form everywhere (probe A/Bs).
+USE_S2D_SLICE_UNSHUFFLE = "auto"
 
 
 def _conv_s2d_stem(p, x):
@@ -49,7 +53,10 @@ def _conv_s2d_stem(p, x):
     w = p["weight"]  # [7, 7, C, O]
     n, h, wd, c = x.shape
     # pixel-unshuffle: channel index dy*2c + dx*c + cc
-    if USE_S2D_SLICE_UNSHUFFLE:
+    use_slice = USE_S2D_SLICE_UNSHUFFLE
+    if use_slice == "auto":
+        use_slice = n == 1
+    if use_slice:
         a = x[:, 0::2].reshape(n, h // 2, wd // 2, 2 * c)
         b = x[:, 1::2].reshape(n, h // 2, wd // 2, 2 * c)
         z = jnp.concatenate([a, b], axis=-1)

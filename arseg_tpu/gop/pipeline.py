@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from arseg_tpu.ops import resize_bilinear, warp_feature, scale_and_resize_flow
+from arseg_tpu.ops.resize import resize_bilinear_s2d
 from arseg_tpu.ops.warp import pad_for_warp
 from arseg_tpu.ops.warp import _resize_plane_bilinear
 
@@ -132,6 +133,27 @@ class ARPipeline:
         mean, std = self.normalize
         return (x.astype(jnp.float32) / 255.0 - mean) / std
 
+    def _lr_input(self, frames, out_hw):
+        """Frames resized to the LR scale for phase 1. When the LR model's
+        first convs are s2d stems (`lr_model.s2d_input`), the resize emits
+        the 2x2 pixel-unshuffled layout directly (`resize_bilinear_s2d`:
+        same interpolation rows per element; bit-identical on the MXU) —
+        the [n, oh, ow, 3] tensor, its NHWC relayout, and the stems'
+        unshuffle transposes (~0.7 ms/GOP on the camvid-bise18 LR batch,
+        round-4 profile) never materialize."""
+        oh, ow = int(out_hw[0]), int(out_hw[1])
+        if (
+            getattr(self.lr_model, "s2d_input", False)
+            and oh % 2 == 0
+            and ow % 2 == 0
+            and frames.shape[-1] <= 4
+            and oh * 2 <= frames.shape[-3]
+        ):
+            from arseg_tpu.nn.functional import S2DPacked
+
+            return S2DPacked(resize_bilinear_s2d(frames, (oh, ow), True))
+        return resize_bilinear(frames, (oh, ow), align_corners=True)
+
     def _phase2_logits(self, lr_params, feat, warped):
         # log_softmax is monotonic: skip it ahead of argmax when supported
         try:
@@ -193,10 +215,9 @@ class ARPipeline:
         fx = fx.reshape(b * g1, *fx.shape[2:])
         fy = fy.reshape(b * g1, *fy.shape[2:])
         fx, fy = _resize_flow_planes((fx, fy), ref_feat.shape[1:3])
-        x_lr = resize_bilinear(
+        x_lr = self._lr_input(
             frames.reshape(b * g1, h, w, frames.shape[-1]),
             (int(h * self.scale), int(w * self.scale)),
-            align_corners=True,
         )
         feat = _as_tuple(self.lr_model.forward_phase1(lr_params, x_lr))[-1]
         # frame i's own keyframe, padded for the warp once (not per frame)
@@ -246,14 +267,12 @@ class ARPipeline:
         # per-frame map: one flow resample + one frame resize over all G-1
         # frames beats G-1 single-frame calls (lane/MXU utilization)
         fx, fy = _resize_flow_planes((fx, fy), ref_feat.shape[1:3])
-        x_lr = resize_bilinear(
-            frames, (int(h * self.scale), int(w * self.scale)),
-            align_corners=True,
-        )
+        lr_hw = (int(h * self.scale), int(w * self.scale))
 
         if self.p1_batched:
             # LR backbone over the whole GOP in one batch (MXU utilization),
             # then warp + CReFF + head per frame (memory + compiler safety)
+            x_lr = self._lr_input(frames, lr_hw)
             feat = _as_tuple(self.lr_model.forward_phase1(lr_params, x_lr))[-1]
             # (hoisting the CReFF lr->HR-grid upsample out of the map was
             # measured perf-neutral — 746.7 vs 748.7 fps, within noise — so
@@ -281,6 +300,7 @@ class ARPipeline:
                     (feat, fx, fy),
                 )
         else:
+            x_lr = resize_bilinear(frames, lr_hw, align_corners=True)
             c = min(self.lr_chunk, g1)
             pad = (-g1) % c
             x_p = jnp.pad(x_lr, ((0, pad), (0, 0), (0, 0), (0, 0)))
@@ -411,8 +431,7 @@ class ARPipeline:
             frame = self._maybe_normalize(frame)
             f = scale_and_resize_flow(flow, ref_feat.shape[1:3], mode="bilinear", split=True)
             h, w = frame.shape[1:3]
-            x = resize_bilinear(frame, (int(h * self.scale), int(w * self.scale)),
-                                align_corners=True)
+            x = self._lr_input(frame, (int(h * self.scale), int(w * self.scale)))
             feat = _as_tuple(self.lr_model.forward_phase1(lr_params, x))[-1]
             # same warp + fused phase-2 + argmax dispatch as the batched
             # path, so latency mode serves with the fast head (and stays

@@ -64,6 +64,11 @@ def apply_upsample_block(p, x, factor=2):
 
 
 class BiSeNetV1:
+    # phase-1 input feeds ONLY the two 7x7/s2/p3 stems (context resnet conv1
+    # + spatial conv1), so callers may pass a pre-unshuffled S2DPacked input
+    # (resize fused with the stem s2d — gop/pipeline._lr_input)
+    s2d_input = True
+
     def __init__(
         self,
         n_classes,

@@ -48,21 +48,51 @@ class Ctx:
 USE_S2D_SLICE_UNSHUFFLE = "auto"
 
 
+class S2DPacked:
+    """A 2x2 pixel-unshuffled image batch (channel order dy*2C + dx*C + cc —
+    the layout _conv_s2d_stem builds internally), produced upstream by
+    `ops.resize.resize_bilinear_s2d` so the resize and the stem unshuffle
+    fuse into one pass. conv2d's s2d stem path consumes `.z` directly; any
+    other op receiving one raises (loudly — a packed input is only legal at
+    a 7x7/s2/p3 stem). `.shape`/`.dtype` report the LOGICAL un-unshuffled
+    geometry so shape-driven model code is unaffected."""
+
+    def __init__(self, z):
+        self.z = z
+
+    @property
+    def shape(self):
+        n, h2, w2, c4 = self.z.shape
+        return (n, h2 * 2, w2 * 2, c4 // 4)
+
+    @property
+    def dtype(self):
+        return self.z.dtype
+
+    def astype(self, dt):
+        return S2DPacked(self.z.astype(dt))
+
+
 def _conv_s2d_stem(p, x):
     """Exact 7x7/stride-2/pad-3 conv via 2x2 space-to-depth (see conv2d)."""
     w = p["weight"]  # [7, 7, C, O]
-    n, h, wd, c = x.shape
-    # pixel-unshuffle: channel index dy*2c + dx*c + cc
-    use_slice = USE_S2D_SLICE_UNSHUFFLE
-    if use_slice == "auto":
-        use_slice = n == 1
-    if use_slice:
-        a = x[:, 0::2].reshape(n, h // 2, wd // 2, 2 * c)
-        b = x[:, 1::2].reshape(n, h // 2, wd // 2, 2 * c)
-        z = jnp.concatenate([a, b], axis=-1)
+    if isinstance(x, S2DPacked):
+        n, h, wd, c = x.shape
+        z = x.z
+        x = z  # for the .dtype uses below
     else:
-        z = x.reshape(n, h // 2, 2, wd // 2, 2, c)
-        z = jnp.transpose(z, (0, 1, 3, 2, 4, 5)).reshape(n, h // 2, wd // 2, 4 * c)
+        n, h, wd, c = x.shape
+        # pixel-unshuffle: channel index dy*2c + dx*c + cc
+        use_slice = USE_S2D_SLICE_UNSHUFFLE
+        if use_slice == "auto":
+            use_slice = n == 1
+        if use_slice:
+            a = x[:, 0::2].reshape(n, h // 2, wd // 2, 2 * c)
+            b = x[:, 1::2].reshape(n, h // 2, wd // 2, 2 * c)
+            z = jnp.concatenate([a, b], axis=-1)
+        else:
+            z = x.reshape(n, h // 2, 2, wd // 2, 2, c)
+            z = jnp.transpose(z, (0, 1, 3, 2, 4, 5)).reshape(n, h // 2, wd // 2, 4 * c)
 
     # Tap a of the 7x7 kernel lands at 4x4-kernel row ai with input parity
     # dy, where dy=(a+1)%2 and ai=(a-3-dy)//2+2 — equivalently the PADDED tap
@@ -99,6 +129,23 @@ def conv2d(p, x, stride=1, padding=0, dilation=1, groups=1):
     if isinstance(dilation, int):
         dilation = (dilation, dilation)
     w = p["weight"]
+    if isinstance(x, S2DPacked):
+        # pre-unshuffled input (resize fused with the stem s2d upstream):
+        # only legal at the 7x7/s2/p3 stem this layout was built for
+        if not (
+            w.shape[0] == 7
+            and w.shape[1] == 7
+            and w.shape[2] * 4 == x.z.shape[-1]
+            and stride == (2, 2)
+            and padding == (3, 3)
+            and dilation == (1, 1)
+            and groups == 1
+        ):
+            raise TypeError(
+                f"S2DPacked input reached a non-stem conv (weight "
+                f"{tuple(w.shape)}, stride={stride}, padding={padding})"
+            )
+        return _conv_s2d_stem(p, x)
     if (
         w.shape[0] == 7
         and w.shape[1] == 7

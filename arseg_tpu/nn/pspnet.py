@@ -96,6 +96,10 @@ class PSPNet:
             self.cfg = make_resnet_config(depth, "arseg")
         else:
             self.cfg = None  # densenet / squeezenet (nn/extractors.py)
+        # resnet backbones start at a 7x7/s2/p3 stem over the raw input, so
+        # phase-1 accepts a pre-unshuffled S2DPacked input (resize fused with
+        # the stem s2d — gop/pipeline._lr_input); extractor backbones differ
+        self.s2d_input = self.cfg is not None and input_channel <= 4
         self.n_classes = n_classes
         self.sizes = sizes
         self.psp_size = psp_size

@@ -197,6 +197,61 @@ def resize_bilinear(x, out_hw, align_corners: bool):
     return jnp.einsum("qw,...hwc->...hqc", mw.astype(x.dtype), y)
 
 
+def resize_bilinear_s2d(x, out_hw, align_corners: bool):
+    """Fused bilinear resize + 2x2 pixel-unshuffle of [..., H, W, C] (C<=4):
+    emits [..., oh/2, ow/2, 4C] with channel order dy*2C + dx*C + cc — the
+    exact layout `nn.functional._conv_s2d_stem` builds for the 7x7/s2 stem
+    convs, computed WITHOUT materializing the resized tensor.
+
+    The resized image in the AR pipeline's LR branch is consumed ONLY by the
+    space-to-depth stem convs, so the unshuffle can ride the resize for free:
+    the H-pass interpolation matmul runs once per output-row parity (the two
+    matrices partition the rows of the full H matrix) and the W-pass once per
+    (dy, dx) parity. Per output element the contraction row is identical to
+    resize_bilinear's H_DOWNSAMPLE_MATMUL path, so vs
+    s2d(resize_bilinear(x, out_hw)) the result is bit-identical wherever the
+    backend's dot reduction order is row-count-independent (TPU MXU; CPU
+    matmuls may reassociate at the 1-2 ulp level — argmax-stable, same
+    caveat as H_DOWNSAMPLE_MATMUL itself) — while the [.., oh, ow, C]
+    tensor, its post-W-pass NHWC relayout, and the stem's 6-D unshuffle
+    transpose (~0.7 ms/GOP combined on the camvid-bise18 LR batch, profiled
+    round 4) never exist.
+
+    Requires even out_hw and a >=2x H downsample (the regime of the LR frame
+    resize this fuses; callers fall back to resize_bilinear otherwise).
+    """
+    h, w = x.shape[-3], x.shape[-2]
+    c = x.shape[-1]
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    if oh % 2 or ow % 2 or c > 4 or oh * 2 > h:
+        raise ValueError(
+            f"resize_bilinear_s2d: need even out_hw, C<=4, >=2x H downsample "
+            f"(got {x.shape} -> {out_hw})"
+        )
+    mh = _linear_matrix(h, oh, align_corners)
+    mw = _linear_matrix(w, ow, align_corners)
+    xm = x.reshape(x.shape[:-2] + (w * c,))
+    ys = []
+    for dy in (0, 1):
+        mh_d = jnp.asarray(mh[dy::2])
+        if x.dtype == jnp.float32:
+            ym = jnp.einsum("ph,...hx->...px", mh_d, xm, precision="highest")
+        else:
+            ym = jnp.einsum("ph,...hx->...px", mh_d.astype(x.dtype), xm)
+        ys.append(ym.reshape(ym.shape[:-1] + (w, c)))
+    zs = []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            mw_d = jnp.asarray(mw[dx::2])
+            if x.dtype == jnp.float32:
+                z = jnp.einsum("qw,...hwc->...hqc", mw_d, ys[dy],
+                               precision="highest")
+            else:
+                z = jnp.einsum("qw,...hwc->...hqc", mw_d.astype(x.dtype), ys[dy])
+            zs.append(z)
+    return jnp.concatenate(zs, axis=-1)
+
+
 def resize_bilinear_padded(x, out_hw, align_corners: bool, pads):
     """Fused bilinear resize + zero-pad of [..., H, W, C]: emits
     [..., pt+oh+pb, pl+ow+pr, C] with an exact-0.0 pad ring.

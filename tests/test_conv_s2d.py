@@ -47,3 +47,76 @@ def test_s2d_stem_no_bias():
     got = Fn.conv2d(p, x, stride=2, padding=3)
     ref = _direct_conv({**p, "bias": None}, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-4)
+
+
+# ---- fused resize -> s2d input (ops.resize.resize_bilinear_s2d) ----------
+
+
+def _unshuffle(x):
+    """Reference 2x2 pixel-unshuffle, channel order dy*2c + dx*c + cc."""
+    n, h, w, c = x.shape
+    z = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    return jnp.transpose(z, (0, 1, 3, 2, 4, 5)).reshape(n, h // 2, w // 2, 4 * c)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("shape,out_hw", [
+    ((2, 48, 64, 3), (24, 32)),
+    ((1, 90, 120, 3), (44, 60)),
+    ((3, 40, 40, 4), (20, 20)),
+])
+def test_resize_s2d_matches_composed(shape, out_hw, dtype):
+    """resize_bilinear_s2d == unshuffle(resize_bilinear) element-for-element:
+    identical interpolation-matrix rows per output (gop/pipeline._lr_input
+    relies on this to swap forms freely). On CPU the matmul may reassociate
+    the 2-term dot at the 1-2 ulp level (row-count-dependent blocking), so
+    the assert is near-exact here; the TPU probe checks bit-identity."""
+    from arseg_tpu.ops.resize import resize_bilinear_s2d
+    from arseg_tpu.ops import resize_bilinear
+
+    rng = np.random.RandomState(sum(shape))
+    x = jnp.asarray(rng.randn(*shape).astype(np.float32)).astype(dtype)
+    fused = resize_bilinear_s2d(x, out_hw, align_corners=True)
+    composed = _unshuffle(resize_bilinear(x, out_hw, align_corners=True))
+    assert fused.dtype == composed.dtype
+    atol = 5e-7 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(
+        np.asarray(fused, np.float32), np.asarray(composed, np.float32),
+        atol=atol, rtol=0,
+    )
+
+
+def test_resize_s2d_rejects_bad_geometry():
+    from arseg_tpu.ops.resize import resize_bilinear_s2d
+
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    with pytest.raises(ValueError):
+        resize_bilinear_s2d(x, (7, 8), align_corners=True)  # odd out H
+    with pytest.raises(ValueError):
+        resize_bilinear_s2d(x, (12, 8), align_corners=True)  # <2x H downsample
+
+
+def test_s2d_packed_conv_matches_plain():
+    """conv2d(S2DPacked(z)) == conv2d(x) for the stem, and a packed input
+    reaching a non-stem conv raises."""
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 24, 32, 3).astype(np.float32))
+    p = {
+        "weight": jnp.asarray(rng.randn(7, 7, 3, 8).astype(np.float32)),
+        "bias": jnp.asarray(rng.randn(8).astype(np.float32)),
+    }
+    plain = Fn.conv2d(p, x, stride=2, padding=3)
+    packed = Fn.conv2d(p, Fn.S2DPacked(_unshuffle(x)), stride=2, padding=3)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(packed))
+
+    wrong = {"weight": jnp.asarray(rng.randn(3, 3, 3, 8).astype(np.float32))}
+    with pytest.raises(TypeError):
+        Fn.conv2d(wrong, Fn.S2DPacked(_unshuffle(x)), stride=1, padding=1)
+
+
+def test_s2d_packed_shape_dtype_views():
+    z = jnp.zeros((2, 12, 16, 12), jnp.bfloat16)
+    packed = Fn.S2DPacked(z)
+    assert packed.shape == (2, 24, 32, 3)
+    assert packed.dtype == jnp.bfloat16
+    assert packed.astype(jnp.float32).z.dtype == jnp.float32

@@ -35,6 +35,17 @@ from arseg_tpu.ops.warp import _resize_plane_bilinear
 # see probes/r4/tools_probe_r4c.py before changing the default.
 FUSE_UNROLL = False
 
+# Serving-dtype cast of the [G-1,H,W,3] frames folded into the LR resize
+# (resize_bilinear_s2d out_dtype) instead of a standalone tree cast: the
+# standalone cast materialized a convert + relayout copy (~0.24 ms/GOP,
+# round-4 profile tree.py:17). Identical values — the cast is elementwise
+# either side of the resize's reshape; bitwise-equal on TPU
+# (probes/r4/tools_probe_r4g.py agreement=1.0 both runs). Default ON:
+# measured -0.23/-0.27 ms/GOP across two sessions. (S2D_ONE_EINSUM in
+# ops/resize.py wins similarly ALONE but the combination loses 0.06-0.19
+# vs this flag alone — layout interference — so only this one defaults on.)
+CAST_IN_RESIZE = True
+
 
 def _as_tuple(x):
     return x if isinstance(x, tuple) else (x,)
@@ -90,12 +101,12 @@ class ARPipeline:
         # also the FASTEST (measured 47.4 / 41.3 / 36.7 fps at chunk 1/2/4,
         # 720x960 bf16): one frame is already 691K pixels of MXU work, so
         # batching adds memory pressure without utilization gains.
-        # KNOWN ISSUE (v5e, Mosaic/jax 0.9): lr_chunk>1 on camvid-bise18
-        # crashes the TPU worker / hangs the compile in the FULL composed
-        # program, while every stage (fused CReFF at n=4, warp, resizes,
-        # phase1/phase2, lax.map+CReFF) passes in isolation — a compiler
-        # scheduling pathology, not a per-op bug. chunk=1 is the validated
-        # serving config on real hardware.
+        # PATHOLOGY HISTORY (tools_retest_pathologies.py re-checks per
+        # toolchain bump): on Mosaic/jax 0.9 round 2-3, lr_chunk>1 on
+        # camvid-bise18 crashed the TPU worker in the FULL composed program
+        # while every stage passed in isolation. On the round-4 toolchain it
+        # PASSES (bench_logs/r4queue_pathology.log) — but chunk=1 remains the
+        # measured-fastest serving config, so nothing routes through it.
         self.lr_chunk = lr_chunk
         # p1_batched: run the LR backbone (phase1) over ALL G-1 frames in one
         # batch BEFORE the per-frame warp/CReFF map. At batch 1 the LR
@@ -103,9 +114,12 @@ class ARPipeline:
         # 0.5x CamVid) starve the MXU; batching the GOP recovers the
         # utilization (measured -10 ms/GOP on camvid-bise18, tools_probe_r3f:
         # 26.0 -> 16.0 ms). The warp + CReFF + head stay per-frame inside
-        # lax.map — batching THOSE is the known Mosaic/XLA composition crash
-        # (tools_probe_r3b `batched-p1`/`batched-fuse`), and per-frame CReFF
-        # also bounds the halo-tiled k/v memory exactly like lr_chunk=1 did.
+        # lax.map — batching THOSE crashed the round-3 toolchain
+        # (tools_probe_r3b `batched-p1`/`batched-fuse`); on the round-4
+        # toolchain batched fuse+head runs again but is perf-NEUTRAL
+        # (probes/r4/tools_probe_r4f.py: -0.10 ms/GOP, agreement 1.0), and
+        # per-frame CReFF also bounds the halo-tiled k/v memory exactly like
+        # lr_chunk=1 did — so the per-frame map stays.
         # Default: batched phase 1 unless the caller explicitly selects the
         # legacy chunked path (lr_chunk>1) — the two are mutually exclusive
         # program structures, so an explicit conflicting pair is an error
@@ -151,8 +165,14 @@ class ARPipeline:
         ):
             from arseg_tpu.nn.functional import S2DPacked
 
-            return S2DPacked(resize_bilinear_s2d(frames, (oh, ow), True))
-        return resize_bilinear(frames, (oh, ow), align_corners=True)
+            return S2DPacked(
+                resize_bilinear_s2d(frames, (oh, ow), True,
+                                    out_dtype=self.dtype)
+            )
+        # fallback path: ensure the serving dtype here (no-op when the
+        # caller already cast; CAST_IN_RESIZE callers pass raw f32)
+        return resize_bilinear(self._cast(frames), (oh, ow),
+                               align_corners=True)
 
     def _phase2_logits(self, lr_params, feat, warped):
         # log_softmax is monotonic: skip it ahead of argmax when supported
@@ -206,9 +226,11 @@ class ARPipeline:
             fx, fy = flows[..., 0], flows[..., 1]
         keyframes = self._maybe_normalize(keyframes)
         frames = self._maybe_normalize(frames)
-        hr_params, lr_params, keyframes, frames = self._cast(
-            (hr_params, lr_params, keyframes, frames)
+        hr_params, lr_params, keyframes = self._cast(
+            (hr_params, lr_params, keyframes)
         )
+        if not CAST_IN_RESIZE:
+            frames = self._cast(frames)
         hr_out = _as_tuple(self.hr_model.apply(hr_params, keyframes))
         key_logits, ref_feat = hr_out[0], hr_out[-1]  # [B,...]
 
@@ -246,9 +268,11 @@ class ARPipeline:
         g1, h, w, _ = frames.shape
         keyframe = self._maybe_normalize(keyframe)
         frames = self._maybe_normalize(frames)
-        hr_params, lr_params, keyframe, frames = self._cast(
-            (hr_params, lr_params, keyframe, frames)
+        hr_params, lr_params, keyframe = self._cast(
+            (hr_params, lr_params, keyframe)
         )
+        if not (CAST_IN_RESIZE and self.p1_batched):
+            frames = self._cast(frames)
 
         hr_out = _as_tuple(self.hr_model.apply(hr_params, keyframe))
         key_logits = hr_out[0]

@@ -106,6 +106,12 @@ MERGED_ROW_GATHER = False
 # at its use site. Module flags so probes can A/B either strategy.
 H_DOWNSAMPLE_MATMUL = True
 
+# resize_bilinear_s2d: emit the four (dy, dx) parity blocks from ONE
+# stacked-matrix H-pass + ONE W-pass einsum (channel packing becomes a free
+# minor-dims reshape) instead of four einsums + a concatenate. Bit-identical
+# element math; flag so probes can A/B the layout behavior.
+S2D_ONE_EINSUM = False
+
 
 def _take_rows(x, idx_np, axis):
     """jnp.take along `axis` with the leading dims merged into the indexed
@@ -197,7 +203,7 @@ def resize_bilinear(x, out_hw, align_corners: bool):
     return jnp.einsum("qw,...hwc->...hqc", mw.astype(x.dtype), y)
 
 
-def resize_bilinear_s2d(x, out_hw, align_corners: bool):
+def resize_bilinear_s2d(x, out_hw, align_corners: bool, out_dtype=None):
     """Fused bilinear resize + 2x2 pixel-unshuffle of [..., H, W, C] (C<=4):
     emits [..., oh/2, ow/2, 4C] with channel order dy*2C + dx*C + cc — the
     exact layout `nn.functional._conv_s2d_stem` builds for the 7x7/s2 stem
@@ -231,23 +237,50 @@ def resize_bilinear_s2d(x, out_hw, align_corners: bool):
     mh = _linear_matrix(h, oh, align_corners)
     mw = _linear_matrix(w, ow, align_corners)
     xm = x.reshape(x.shape[:-2] + (w * c,))
+    if out_dtype is not None and xm.dtype != jnp.dtype(out_dtype):
+        # serving cast folded into the resize: converting AFTER the minor-dim
+        # merge hands XLA a convert whose only consumer is the H-pass dot
+        # (the standalone tree-cast of [n,720,960,3] frames materialized a
+        # convert + relayout copy, ~0.24 ms/GOP in the round-4 profile).
+        # Elementwise cast — same values as casting before the reshape.
+        xm = xm.astype(out_dtype)
+    if S2D_ONE_EINSUM:
+        # Stacked-matrix form: the four (dy, dx) parity outputs come out of
+        # ONE H-pass and ONE W-pass einsum, with the channel packing
+        # (dy*2C + dx*C + cc) landing as a contiguous minor-dims reshape —
+        # no 4-way concatenate (a 0.27 ms/GOP layout copy on the
+        # camvid-bise18 LR batch, round-4 profile). Per output element the
+        # contraction row is the same mh/mw row as the loop form below:
+        # bit-identical on the MXU.
+        mh2 = jnp.asarray(np.stack([mh[0::2], mh[1::2]]))  # [2, oh/2, h]
+        mw2 = jnp.asarray(np.stack([mw[0::2], mw[1::2]], 1))  # [ow/2, 2, w]
+        if xm.dtype == jnp.float32:
+            ym = jnp.einsum("dph,...hx->...dpx", mh2, xm, precision="highest")
+            ym = ym.reshape(ym.shape[:-1] + (w, c))
+            z = jnp.einsum("qew,...dpwc->...pqdec", mw2, ym,
+                           precision="highest")
+        else:
+            ym = jnp.einsum("dph,...hx->...dpx", mh2.astype(xm.dtype), xm)
+            ym = ym.reshape(ym.shape[:-1] + (w, c))
+            z = jnp.einsum("qew,...dpwc->...pqdec", mw2.astype(xm.dtype), ym)
+        return z.reshape(z.shape[:-3] + (4 * c,))
     ys = []
     for dy in (0, 1):
         mh_d = jnp.asarray(mh[dy::2])
-        if x.dtype == jnp.float32:
+        if xm.dtype == jnp.float32:
             ym = jnp.einsum("ph,...hx->...px", mh_d, xm, precision="highest")
         else:
-            ym = jnp.einsum("ph,...hx->...px", mh_d.astype(x.dtype), xm)
+            ym = jnp.einsum("ph,...hx->...px", mh_d.astype(xm.dtype), xm)
         ys.append(ym.reshape(ym.shape[:-1] + (w, c)))
     zs = []
     for dy in (0, 1):
         for dx in (0, 1):
             mw_d = jnp.asarray(mw[dx::2])
-            if x.dtype == jnp.float32:
+            if xm.dtype == jnp.float32:
                 z = jnp.einsum("qw,...hwc->...hqc", mw_d, ys[dy],
                                precision="highest")
             else:
-                z = jnp.einsum("qw,...hwc->...hqc", mw_d.astype(x.dtype), ys[dy])
+                z = jnp.einsum("qw,...hwc->...hqc", mw_d.astype(xm.dtype), ys[dy])
             zs.append(z)
     return jnp.concatenate(zs, axis=-1)
 

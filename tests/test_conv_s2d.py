@@ -86,6 +86,42 @@ def test_resize_s2d_matches_composed(shape, out_hw, dtype):
     )
 
 
+def test_resize_s2d_flag_paths_bit_identical():
+    """The stacked-matrix single-einsum form (S2D_ONE_EINSUM) and the folded
+    serving cast (out_dtype) must be bit-identical to the 4-einsum + concat
+    loop form — same interpolation-matrix rows per output element, and the
+    cast is elementwise either side of the merge reshape."""
+    from arseg_tpu.ops import resize as rz
+
+    rng = np.random.RandomState(11)
+    x32 = jnp.asarray(rng.randn(2, 48, 64, 3).astype(np.float32))
+    saved = rz.S2D_ONE_EINSUM
+    outs = {}
+    try:
+        for one in (False, True):
+            rz.S2D_ONE_EINSUM = one
+            outs[(one, "f32")] = np.asarray(
+                rz.resize_bilinear_s2d(x32, (24, 32), True)
+            )
+            outs[(one, "bf16")] = np.asarray(
+                rz.resize_bilinear_s2d(
+                    x32.astype(jnp.bfloat16), (24, 32), True
+                ).astype(jnp.float32)
+            )
+            outs[(one, "fold")] = np.asarray(
+                rz.resize_bilinear_s2d(
+                    x32, (24, 32), True, out_dtype=jnp.bfloat16
+                ).astype(jnp.float32)
+            )
+    finally:
+        rz.S2D_ONE_EINSUM = saved
+    np.testing.assert_array_equal(outs[(True, "f32")], outs[(False, "f32")])
+    np.testing.assert_array_equal(outs[(True, "bf16")], outs[(False, "bf16")])
+    # folded cast == cast-then-resize, both forms
+    np.testing.assert_array_equal(outs[(False, "fold")], outs[(False, "bf16")])
+    np.testing.assert_array_equal(outs[(True, "fold")], outs[(False, "bf16")])
+
+
 def test_resize_s2d_rejects_bad_geometry():
     from arseg_tpu.ops.resize import resize_bilinear_s2d
 

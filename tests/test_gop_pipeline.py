@@ -54,6 +54,37 @@ def test_chunk_sizes_agree(setup):
     np.testing.assert_array_equal(outs[0], outs[2])
 
 
+def test_cast_in_resize_flag_agrees():
+    """CAST_IN_RESIZE (frames cast folded into resize_bilinear_s2d) must
+    reproduce the standalone-cast program exactly — the cast is elementwise
+    either side of the resize's merge reshape. Uses bise18 (s2d stems, the
+    flag's production target) in bf16 (the only dtype where a cast exists)."""
+    from arseg_tpu.gop import pipeline as plmod
+    from arseg_tpu.utils.tree import cast_f32
+
+    hr = build_model("camvid-bise18", fuse=False)
+    lr = build_model("camvid-bise18", fuse=True)
+    hp = cast_f32(hr.init(jax.random.PRNGKey(0)), jnp.bfloat16)
+    lp = cast_f32(lr.init(jax.random.PRNGKey(1)), jnp.bfloat16)
+    rng = np.random.RandomState(3)
+    kf = jnp.asarray(rng.randn(1, H, W, 3).astype(np.float32))
+    fr = jnp.asarray(rng.randn(G - 1, H, W, 3).astype(np.float32))
+    fl = jnp.asarray(rng.uniform(-4, 4, (G - 1, H, W, 2)).astype(np.float32))
+    saved = plmod.CAST_IN_RESIZE
+    try:
+        plmod.CAST_IN_RESIZE = False
+        base = np.asarray(
+            ARPipeline(hr, lr, scale=0.5, dtype=jnp.bfloat16)(hp, lp, kf, fr, fl)
+        )
+        plmod.CAST_IN_RESIZE = True
+        folded = np.asarray(
+            ARPipeline(hr, lr, scale=0.5, dtype=jnp.bfloat16)(hp, lp, kf, fr, fl)
+        )
+    finally:
+        plmod.CAST_IN_RESIZE = saved
+    np.testing.assert_array_equal(base, folded)
+
+
 def test_multi_gop_matches_single(setup):
     """Throughput mode (B GOPs per program, HR keyframes + phase 1 batched
     across GOPs) must reproduce the single-GOP program exactly."""

@@ -54,11 +54,19 @@ def _as_tuple(x):
 def _resize_flow_planes(flow_planes, feat_hw):
     """(fx, fy) [n, Hf, Wf] -> magnitude-rescaled planes at feat_hw
     (eval-path semantics: x feat_h/flow_h then bilinear align_corners=True,
-    reference `evaluation.py:177-180`)."""
+    reference `evaluation.py:177-180`).
+
+    The scalar magnitude rescale commutes past the (linear) resize and runs
+    AFTER it, on the feat_hw-sized planes instead of the full-res ones
+    (-0.42 ms/GOP, probes/r4/tools_probe_r4h.py `flow-after`). For the
+    protocol's power-of-two scale chain (s = feat_h/flow_h = 1/8, 1/2, ...)
+    the f32 multiply is exact either side, so this is bit-identical to the
+    multiply-then-resize order (r4h agreement 1.000000); non-pow2 scales
+    would differ at the 1-ulp level only."""
     fx, fy = flow_planes
     s = jnp.float32(feat_hw[0] / fx.shape[-2])
-    fx = _resize_plane_bilinear(fx.astype(jnp.float32) * s, feat_hw, True)
-    fy = _resize_plane_bilinear(fy.astype(jnp.float32) * s, feat_hw, True)
+    fx = _resize_plane_bilinear(fx.astype(jnp.float32), feat_hw, True) * s
+    fy = _resize_plane_bilinear(fy.astype(jnp.float32), feat_hw, True) * s
     return fx, fy
 
 

@@ -197,6 +197,35 @@ def bench_config(name):
     return ar_fps, hr_fps
 
 
+def bench_psp18_v2(hr_fps):
+    """AR throughput of camvid-psp18 with fuse_version=2 — the recommended
+    TPU serving config for the psp18 backbone (see main()). `hr_fps` is the
+    plain psp18 HR-everyframe baseline already measured by bench_config
+    (the V2-fused model's own HR forward measures within 2% of it,
+    bench_logs/r4queue_benchv2.log, so it is not re-measured here)."""
+    from arseg_tpu.models import build_model
+    from arseg_tpu.gop import ARPipeline
+    from arseg_tpu.utils.tree import cast_f32
+
+    dtype = jnp.dtype(DTYPE)
+    hr_model = build_model("camvid-psp18", fuse=True, fuse_version=2)
+    lr_model = build_model("camvid-psp18", fuse=True, fuse_version=2)
+    hr_params = cast_f32(hr_model.init(jax.random.PRNGKey(0)), dtype)
+    lr_params = cast_f32(lr_model.init(jax.random.PRNGKey(1)), dtype)
+    rng = np.random.RandomState(0)
+    kf = jnp.asarray(rng.randn(1, H, W, 3).astype(np.float32))
+    fr = jnp.asarray(rng.randn(GOP - 1, H, W, 3).astype(np.float32))
+    fx = jnp.asarray(rng.uniform(-16, 16, (GOP - 1, H, W)).astype(np.float32))
+    fy = jnp.asarray(rng.uniform(-16, 16, (GOP - 1, H, W)).astype(np.float32))
+    pipe = ARPipeline(hr_model, lr_model, scale=SCALE, dtype=dtype)
+    ar_fps = GOP / _time(pipe, hr_params, lr_params, kf, fr, (fx, fy),
+                         label="psp18v2_ar")
+    return {
+        "ar_fps": round(ar_fps, 2),
+        "vs_baseline": round(ar_fps / hr_fps, 3),
+    }
+
+
 def bench_batch_matched():
     """Equal-frames-in-flight pairings for the headline config (PERF.md
     "batching arms race"): AR and HR each at their best program for 12 and
@@ -298,6 +327,18 @@ def main():
         )
     except Exception as e:  # noqa: BLE001 — report, don't die
         extra["psp18_error"] = f"{type(e).__name__}: {e}"[:200]
+    else:
+        # The RECOMMENDED TPU serving config for the psp18 backbone:
+        # fuse_version=2 (the reference's own 1/8-resolution fusion ablation,
+        # reference model/pspnet.py:234-340). V1's full-res 64-ch fusion is
+        # gather-floor-bound on TPU (PERF.md "psp18 floor claim"); V2 fuses
+        # at [90,120,512], serves 2.2x faster than V1 AND measured MORE
+        # accurate end-to-end on the synthetic FST protocol (PARITY.md §6).
+        # Ratio uses the same plain-HR-everyframe denominator as V1.
+        try:
+            extra["psp18_fusev2"] = bench_psp18_v2(psp_hr)
+        except Exception as e:  # noqa: BLE001
+            extra["psp18_fusev2_error"] = f"{type(e).__name__}: {e}"[:200]
     try:
         batch_matched = bench_batch_matched()
         batch_matched["vs_hr_gop_batched"] = round(

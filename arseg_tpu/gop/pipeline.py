@@ -26,8 +26,17 @@ import jax.numpy as jnp
 
 from arseg_tpu.ops import resize_bilinear, warp_feature, scale_and_resize_flow
 from arseg_tpu.ops.resize import resize_bilinear_s2d
-from arseg_tpu.ops.warp import pad_for_warp
+from arseg_tpu.ops.warp import pad_for_warp, t4_table
 from arseg_tpu.ops.warp import _resize_plane_bilinear
+
+# Corner-packed warp table (ops/warp.t4_table): the GOP-invariant keyframe
+# feature's four bilinear corners are packed once per GOP into a
+# [H+1, W+1, 4C] table so each per-frame warp gathers ONE contiguous row
+# per output pixel instead of a (2,2,C) two-row strided block. Same index
+# and weight math — f32-bitwise-identical, 26x faster per gather for
+# HBM-resident sources (probes/r4/tools_probe_r4l.py); production A/B in
+# probes/r4/tools_probe_r4n.py decides the default.
+WARP_T4 = False
 
 # Trace-time unroll of the per-frame fuse loop in the p1_batched single-GOP
 # step (11 iterations at GOP 12). OFF = lax.map (loop-carried; the compiler
@@ -193,13 +202,17 @@ class ARPipeline:
                      ref_prepadded=False):
         """Warp + CReFF + head for a batch of frames whose phase-1 features
         are already computed. feat: [n, h1, w1, C]; flow_planes at the HR
-        feature resolution. ref_prepadded: ref_feat already carries
-        pad_for_warp's border (hoisted out of the caller's per-frame map —
-        the pad is loop-invariant but XLA re-materializes it per frame)."""
+        feature resolution. ref_prepadded: ref_feat is already in the
+        warp-ready form — pad_for_warp's bordered feature, or (WARP_T4) the
+        corner-packed t4_table — hoisted out of the caller's per-frame map
+        (the pad/table is loop-invariant but XLA re-materializes it per
+        frame)."""
         n = feat.shape[0]
         h, w = out_hw
         ref_rep = jnp.broadcast_to(ref_feat, (n,) + ref_feat.shape[1:])
-        warped = warp_feature(ref_rep, flow_planes, prepadded=ref_prepadded)
+        warped = warp_feature(ref_rep, flow_planes,
+                              prepadded=ref_prepadded and not WARP_T4,
+                              t4=ref_prepadded and WARP_T4)
         # shared dispatch predicate with the eval engine (models.phase2_argmax_head)
         from arseg_tpu.models import phase2_argmax_head
 
@@ -251,7 +264,8 @@ class ARPipeline:
         )
         feat = _as_tuple(self.lr_model.forward_phase1(lr_params, x_lr))[-1]
         # frame i's own keyframe, padded for the warp once (not per frame)
-        ref_rep = jnp.repeat(pad_for_warp(ref_feat), g1, axis=0)
+        ref_pre = t4_table(ref_feat) if WARP_T4 else pad_for_warp(ref_feat)
+        ref_rep = jnp.repeat(ref_pre, g1, axis=0)
 
         preds = jax.lax.map(
             lambda args: self._fuse_branch(
@@ -309,7 +323,8 @@ class ARPipeline:
             # (hoisting the CReFF lr->HR-grid upsample out of the map was
             # measured perf-neutral — 746.7 vs 748.7 fps, within noise — so
             # the per-frame fuse keeps its own upsample)
-            ref_pad = pad_for_warp(ref_feat)  # once, not once per frame
+            # warp-ready keyframe form built once, not once per frame
+            ref_pad = t4_table(ref_feat) if WARP_T4 else pad_for_warp(ref_feat)
             if FUSE_UNROLL:
                 # trace-time unroll of the G-1 fuse iterations: retires the
                 # while-loop bookkeeping and lets XLA overlap frame i+1's

@@ -152,8 +152,18 @@ class BiSeNetV1:
 
     def _spatial_path(self, p, x, ctx):
         sp = p["sp"]
-        y = apply_cbr(sp["conv1"], x, ctx, "sp.conv1", stride=2, padding=3)
-        y = apply_cbr(sp["conv2"], y, ctx, "sp.conv2", stride=2)
+        if Fn.stem_s2d4_enabled(ctx) and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
+            # serving path: block-form conv1, conv2 consumes the blocks
+            # directly (functional.py STEM_S2D4_BLOCKS — same math, full-lane
+            # MXU contraction; the logical conv1 output is never built)
+            b = Fn.conv_stem_s2d4_blocks(sp["conv1"]["conv"], x)
+            b = Fn.relu(Fn.batch_norm(Fn.tile_bn4(sp["conv1"]["bn"]), b, ctx,
+                                      "sp.conv1.bn"))
+            y = Fn.conv3x3s2_from_blocks(sp["conv2"]["conv"], b)
+            y = Fn.relu(Fn.batch_norm(sp["conv2"]["bn"], y, ctx, "sp.conv2.bn"))
+        else:
+            y = apply_cbr(sp["conv1"], x, ctx, "sp.conv1", stride=2, padding=3)
+            y = apply_cbr(sp["conv2"], y, ctx, "sp.conv2", stride=2)
         y = apply_cbr(sp["conv3"], y, ctx, "sp.conv3", stride=2)
         return apply_cbr(sp["conv_out"], y, ctx, "sp.conv_out", padding=0)
 

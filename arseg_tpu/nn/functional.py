@@ -15,6 +15,7 @@ pure.
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BN_EPS = 1e-5
 BN_MOMENTUM = 0.1
@@ -118,6 +119,154 @@ def _conv_s2d_stem(p, x):
     if "bias" in p and p["bias"] is not None:
         out = out + p["bias"].astype(x.dtype)
     return out
+
+
+# ---------------------------------------------------------------------------
+# s2d4 block-form stem (serving path)
+#
+# The s2d2 stem above still contracts only 12 lanes of the MXU's 128 (9.4%;
+# measured 20.5 TF/s on the [11,180,240,64] LR stems — exactly the lane-pad
+# model's prediction, r4i profile). Space-to-depth ONCE MORE fixes it: on the
+# s2d4 grid [H/4, W/4, 48] the exact 7x7/s2 stem is a single 3x3 conv over 48
+# channels (37.5% lanes) that emits all four output parities as channel
+# blocks [n, H/4, W/4, 4*O] (block (py*2+px)*O holds logical pixel
+# (2i+py, 2j+px)). Tap placement: 4x4-form tap a4 lands at s2d4 tap qy with
+# input parity ey for output parity py iff a4 = 2*qy + ey - py (qy in
+# {-1,0,1}); out-of-range taps are zeros. Downstream serving consumers eat
+# the blocks directly — BN/ReLU with 4x-tiled params (elementwise, bitwise
+# equal), the resnet 3x3/s2/p1 maxpool as a separable parity max, and the
+# bise18 spatial conv2 (3x3/s2/p1) as a 2x2 conv over the 256-ch block form
+# (dy = 2*qy + py - 2; contraction 256 = full lanes) — so the logical
+# [H/2, W/2, 64] tensor is never materialized. Same math as the s2d2 path up
+# to contraction order (~1e-6 f32, probes/r4/tools_probe_r4j.py).
+#
+# Training keeps the s2d2 path: block-form batch stats would average per
+# (parity, channel) rather than per logical channel.
+#
+# Measured (r4j, v5e bf16): LR [11,360,480,3] stem conv 2.33 -> 1.73 ms,
+# spatial conv1+2 pair 2.45 -> 1.98; HR [1,720,960,3] stem+pool 2.55 -> 1.33,
+# spatial pair 1.81 -> 1.31 (probe fed a precomputed z4 — production pays
+# one extra 2x2 unshuffle on top of the packed z12).
+#
+# Full-program A/B (r4k, bench_logs/r4queue_r4k.log): AR pipeline
+# 13.95 -> 13.60 ms/GOP, HR-everyframe 26.22 -> 19.86, psp18-V2 neutral;
+# bf16 argmax agreement on-vs-off 0.994 on random weights (contraction
+# order changes; covered by the serving-dtype caveat, PARITY.md §1).
+# Default ON: both the AR program and the vs_baseline HR denominator get
+# the same best implementation.
+STEM_S2D4_BLOCKS = True
+
+# At batch>1 the r4m profile shows the parity-max pool chain (slices +
+# shifted maxima) costing ~0.52 ms/GOP vs reduce_window's 0.25 on the LR
+# [11,90,120,256] block tensor, while at n==1 (HR keyframe) the parity form
+# measured -1.22 ms (r4j). When True, resnet_stem unblocks (d2s) and uses
+# reduce_window for n>1 — bitwise-equal either way; probe r4n decides.
+S2D4_POOL_D2S_BATCH = False
+
+
+def stem_s2d4_enabled(ctx):
+    return STEM_S2D4_BLOCKS and not (ctx is not None and ctx.train)
+
+
+def _unshuffle2(x):
+    """2x2 pixel-unshuffle, channel order dy*2C + dx*C + cc (slice form)."""
+    n, h, w, c = x.shape
+    a = x[:, 0::2].reshape(n, h // 2, w // 2, 2 * c)
+    b = x[:, 1::2].reshape(n, h // 2, w // 2, 2 * c)
+    return jnp.concatenate([a, b], axis=-1)
+
+
+def _stem_kernel_s2d4(w):
+    """[7,7,C,O] -> [3,3,16C,4O] block-form stem kernel (trace-time)."""
+    c, o = w.shape[2], w.shape[3]
+    wp = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    w4 = wp.reshape(4, 2, 4, 2, c, o).transpose(0, 2, 1, 3, 4, 5)
+    w4 = w4.reshape(4, 4, 4 * c, o)
+    w4p = jnp.pad(w4, ((0, 1), (0, 1), (0, 0), (0, 0)))  # row/col 4 == zeros
+    q, e, par = np.arange(3), np.arange(2), np.arange(2)
+    a = 2 * q[:, None, None] + e[None, :, None] - par[None, None, :]
+    a = np.where((a >= 0) & (a <= 3), a, 4)  # [q, e, parity]
+    ay = a[:, None, :, None, :, None]  # [qy, qx, ey, ex, py, px]
+    bx = a[None, :, None, :, None, :]
+    k = w4p[ay, bx]  # [3, 3, 2, 2, 2, 2, 4C, O]
+    k = k.transpose(0, 1, 2, 3, 6, 4, 5, 7)  # ch in = (ey,ex,c4); out = (py,px,o)
+    return k.reshape(3, 3, 16 * c, 4 * o)
+
+
+def conv_stem_s2d4_blocks(p, x):
+    """7x7/s2/p3 stem conv -> block form [n, H/4, W/4, 4*O].
+
+    Accepts a raw [n,H,W,C] image (H, W divisible by 4) or the S2DPacked z12
+    the fused resize emits; either way one more 2x2 unshuffle builds z4."""
+    z12 = x.z if isinstance(x, S2DPacked) else _unshuffle2(x)
+    z4 = _unshuffle2(z12)
+    k = _stem_kernel_s2d4(p["weight"])
+    out = jax.lax.conv_general_dilated(
+        z4, k.astype(z4.dtype), window_strides=(1, 1),
+        padding=[(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision="highest")
+    if "bias" in p and p["bias"] is not None:
+        out = out + jnp.tile(p["bias"], 4).astype(out.dtype)
+    return out
+
+
+def conv3x3s2_from_blocks(p, b):
+    """3x3/stride-2/pad-1 conv consuming block form -> logical [n,H/4,W/4,O].
+
+    Logical row 2i+dy lives at block parity py, s2d row i+qy-1 with
+    dy = 2*qy + py - 2; the (qy=0, py=0) tap (dy=-2) is zero."""
+    w = p["weight"]
+    cin, cout = w.shape[2], w.shape[3]
+    wp = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))  # idx 3 == zero
+    q, par = np.arange(2), np.arange(2)
+    d = 2 * q[:, None] + par[None, :] - 2
+    idx = np.where((d >= -1) & (d <= 1), d + 1, 3)  # [q, parity]
+    ky = idx[:, None, :, None]  # [qy, qx, py, px]
+    kx = idx[None, :, None, :]
+    k = wp[ky, kx]  # [2, 2, 2, 2, cin, cout]; ch in = (py, px, cin)
+    k = k.reshape(2, 2, 4 * cin, cout)
+    out = jax.lax.conv_general_dilated(
+        b, k.astype(b.dtype), window_strides=(1, 1),
+        padding=[(1, 0), (1, 0)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision="highest")
+    if "bias" in p and p["bias"] is not None:
+        out = out + p["bias"].astype(out.dtype)
+    return out
+
+
+def _shift_m1(x, axis, fill):
+    """y[i] = x[i-1] along `axis`, `fill` at i=0 (same shape)."""
+    pad = jnp.full_like(jax.lax.slice_in_dim(x, 0, 1, axis=axis), fill)
+    return jnp.concatenate(
+        [pad, jax.lax.slice_in_dim(x, 0, x.shape[axis] - 1, axis=axis)],
+        axis=axis)
+
+
+def max_pool_3x3_s2_p1_blocks(b):
+    """torch MaxPool2d(3, stride=2, padding=1) on a block-form stem output.
+
+    pooled[i,j] = max over logical rows {2i-1, 2i, 2i+1} = blocks
+    {(py=1, i-1), (py=0, i), (py=1, i)} and likewise on W — separable."""
+    o = b.shape[-1] // 4
+    ninf = -jnp.inf
+    B = [[b[..., (py * 2 + px) * o:(py * 2 + px + 1) * o]
+          for px in range(2)] for py in range(2)]
+    m = [jnp.maximum(jnp.maximum(_shift_m1(B[1][px], 1, ninf), B[0][px]),
+                     B[1][px]) for px in range(2)]
+    return jnp.maximum(jnp.maximum(_shift_m1(m[1], 2, ninf), m[0]), m[1])
+
+
+def d2s_blocks(b):
+    """Block form [n,Hq,Wq,4O] -> logical [n,2Hq,2Wq,O]."""
+    n, hq, wq, c4 = b.shape
+    o = c4 // 4
+    z = b.reshape(n, hq, wq, 2, 2, o).transpose(0, 1, 3, 2, 4, 5)
+    return z.reshape(n, hq * 2, wq * 2, o)
+
+
+def tile_bn4(p):
+    """BN params tiled 4x for the block-form layout (elementwise-identical)."""
+    return {k: jnp.tile(v, 4) for k, v in p.items()}
 
 
 def conv2d(p, x, stride=1, padding=0, dilation=1, groups=1):

@@ -143,6 +143,17 @@ def _bottleneck_block(p, x, ctx, path, b):
 
 
 def resnet_stem(p, x, ctx, path=""):
+    if Fn.stem_s2d4_enabled(ctx) and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
+        # serving path: block-form stem + parity maxpool (see functional.py
+        # STEM_S2D4_BLOCKS — same math, 4x the MXU contraction depth)
+        b = Fn.conv_stem_s2d4_blocks(p["conv1"], x)
+        b = Fn.relu(Fn.batch_norm(Fn.tile_bn4(p["bn1"]), b, ctx, path + "bn1"))
+        if Fn.S2D4_POOL_D2S_BATCH and b.shape[0] > 1:
+            # r4m profile: at batch>1 LR shapes the parity-max chain costs
+            # ~0.52 ms vs reduce_window's 0.25 — unblock + pool instead
+            # (bitwise-equal; the r4j HR n==1 win keeps the parity form)
+            return Fn.max_pool_3x3_s2_p1(Fn.d2s_blocks(b))
+        return Fn.max_pool_3x3_s2_p1_blocks(b)
     x = Fn.conv2d(p["conv1"], x, stride=2, padding=3)
     x = Fn.relu(Fn.batch_norm(p["bn1"], x, ctx, path + "bn1"))
     return Fn.max_pool_3x3_s2_p1(x)

@@ -64,15 +64,39 @@ def pad_for_warp(feature):
     return jnp.pad(feature, ((0, 0), (1, 1), (1, 1), (0, 0)))
 
 
+def t4_table(feature, prepadded: bool = False):
+    """Corner-packed warp table: t4[n, y, x] = the four bilinear corners
+    (fp[y,x], fp[y,x+1], fp[y+1,x], fp[y+1,x+1]) channel-concatenated,
+    where fp is the pad_for_warp'ed source -> [N, H+1, W+1, 4C].
+
+    A caller warping the SAME source many times (the GOP fuse loop) builds
+    this once; each warp then reads ONE contiguous (1, 4C) row per output
+    pixel instead of a (2, 2, C) two-row strided block — measured 26x
+    faster per gather for HBM-resident sources at the bise18 fusion shape
+    (probes/r4/tools_probe_r4l.py; production A/B in r4n). Same indices,
+    same weights, f32-bitwise-identical output (max|d|=0)."""
+    fp = feature if prepadded else pad_for_warp(feature)
+    return jnp.concatenate(
+        [fp[:, :-1, :-1], fp[:, :-1, 1:], fp[:, 1:, :-1], fp[:, 1:, 1:]],
+        axis=-1,
+    )
+
+
 def _grid_sample_planes(feature, gx, gy, align_corners, method="exact",
-                        prepadded=False):
+                        prepadded=False, t4=False):
     """grid_sample on pre-split normalized-coordinate planes gx/gy [N,Hg,Wg].
 
     prepadded=True: `feature` already carries the 1-px zero border from
     pad_for_warp (shape [N, H+2, W+2, C]); h/w below refer to the unpadded
-    content. Bitwise-identical output to the pad-inside path."""
+    content. Bitwise-identical output to the pad-inside path.
+
+    t4=True: `feature` is a t4_table(source) [N, H+1, W+1, 4C] — the gather
+    reads one contiguous packed-corner row per output pixel. Same index and
+    weight math, f32-bitwise-identical output."""
     n, h, w, c = feature.shape
-    if prepadded:
+    if t4:
+        h, w, c = h - 1, w - 1, c // 4
+    elif prepadded:
         h, w = h - 2, w - 2
     if align_corners:
         ix = (gx + 1.0) * (w - 1) / 2.0
@@ -87,7 +111,10 @@ def _grid_sample_planes(feature, gx, gy, align_corners, method="exact",
     wy = iy - y0
 
     # corner top-left index in the 1-px zero-padded source
-    fp = feature if prepadded else jnp.pad(feature, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    if t4 or prepadded:
+        fp = feature
+    else:
+        fp = jnp.pad(feature, ((0, 0), (1, 1), (1, 1), (0, 0)))
     xi = jnp.clip(x0.astype(jnp.int32) + 1, 0, w)
     yi = jnp.clip(y0.astype(jnp.int32) + 1, 0, h)
 
@@ -101,6 +128,19 @@ def _grid_sample_planes(feature, gx, gy, align_corners, method="exact",
     wy0, wy1 = axis_w(y0, wy, h - 1, 0), axis_w(y0, wy, h - 1, 1)
 
     hg, wg = gx.shape[1:]
+
+    if t4:
+        tab = fp.reshape(n, (h + 1) * (w + 1), 4 * c)
+        flat = (yi * (w + 1) + xi).reshape(n, -1)
+        rows = jax.vmap(lambda t1, i1: jnp.take(t1, i1, axis=0))(tab, flat)
+        blk = rows.reshape(n, hg, wg, 4, c)
+        out = (
+            blk[:, :, :, 0] * (wy0 * wx0)[..., None]
+            + blk[:, :, :, 1] * (wy0 * wx1)[..., None]
+            + blk[:, :, :, 2] * (wy1 * wx0)[..., None]
+            + blk[:, :, :, 3] * (wy1 * wx1)[..., None]
+        )
+        return out.astype(feature.dtype)
 
     def exact():
         idx = jnp.stack([yi, xi], axis=-1).reshape(n, -1, 2)
@@ -196,7 +236,7 @@ def _grid_sample_planes(feature, gx, gy, align_corners, method="exact",
 
 
 def warp_feature(feature, flow, align_corners: bool = False, method: str = "exact",
-                 prepadded: bool = False):
+                 prepadded: bool = False, t4: bool = False):
     """Warp `feature` [N,H,W,C] by pixel displacements.
 
     flow: [N,H,W,2] (x, y) array, or a tuple (fx, fy) of [N,H,W] planes —
@@ -207,12 +247,19 @@ def warp_feature(feature, flow, align_corners: bool = False, method: str = "exac
     `flow` is at the UNPADDED [H, W] geometry — use when the same source is
     warped repeatedly (pad once, outside the loop).
 
+    t4=True: `feature` is t4_table(source) ([N,H+1,W+1,4C]); `flow` at the
+    unpadded [H, W] geometry. One contiguous packed-corner row gathered per
+    output pixel — build the table once when warping the same source many
+    times. f32-bitwise-identical to the exact path.
+
     Equivalent of the reference warpFeature (`evaluation.py:61-87`): absolute
     grid = base + flow, normalized to [-1,1] by (size-1), then grid_sample
     (plane-native — the [..., 2] grid stack/unstack relayout is skipped).
     """
     n, h, w, c = feature.shape
-    if prepadded:
+    if t4:
+        h, w = h - 1, w - 1
+    elif prepadded:
         h, w = h - 2, w - 2
     if isinstance(flow, tuple):
         fx, fy = flow
@@ -225,7 +272,7 @@ def warp_feature(feature, flow, align_corners: bool = False, method: str = "exac
     gx = 2.0 * vx / max(w - 1, 1) - 1.0
     gy = 2.0 * vy / max(h - 1, 1) - 1.0
     return _grid_sample_planes(feature, gx, gy, align_corners, method,
-                               prepadded=prepadded)
+                               prepadded=prepadded, t4=t4)
 
 
 def _resize_plane_bilinear(x, out_hw, align_corners):

@@ -306,14 +306,18 @@ def main():
     extra = {"bise18_hr_everyframe_fps": round(bise_hr, 2)}
     # The denominator is THIS framework's own HR implementation and it keeps
     # improving: round-4 layout fixes (slice-form s2d stem, resize gather
-    # defaults) sped the per-frame HR program ~45% (311 -> ~450 fps) while
-    # the AR program — already layout-tuned — gained ~5%. A vs_baseline drop
-    # across rounds therefore does NOT mean AR regressed; compare `value`
-    # (absolute AR fps) across rounds, and see extra.hr_baseline_history +
-    # the hardware-independent analytic FLOP ratio (2.70x for this config,
-    # tools_flops_analytic.py / PERF.md "Cross-hardware statement").
+    # defaults) sped the per-frame HR program ~45% (311 -> ~450 fps), and the
+    # s2d4 block-form stem (which the HR program hits 12x per GOP vs AR's
+    # once) took it to ~604 — while the AR program, already layout-tuned,
+    # went 652 (r3) -> ~880. A vs_baseline drop across rounds therefore does
+    # NOT mean AR regressed; compare `value` (absolute AR fps) across
+    # rounds, and see extra.hr_baseline_history + the hardware-independent
+    # analytic FLOP ratio (2.70x for this config — the ceiling ANY
+    # implementation pair can reach; tools_flops_analytic.py / PERF.md
+    # "Cross-hardware statement" + round-4 s2d4 section).
     extra["hr_baseline_history_fps"] = {"r3": 307.4, "r4_measure": 311.4,
-                                        "r4_post_layout_fixes": 453.2}
+                                        "r4_post_layout_fixes": 453.2,
+                                        "r4_post_s2d4_stem": 604.1}
     extra["analytic_flop_ratio"] = 2.70
     if session_tflops is not None:
         extra["session_matmul_tflops"] = session_tflops

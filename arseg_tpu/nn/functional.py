@@ -160,8 +160,14 @@ STEM_S2D4_BLOCKS = True
 # shifted maxima) costing ~0.52 ms/GOP vs reduce_window's 0.25 on the LR
 # [11,90,120,256] block tensor, while at n==1 (HR keyframe) the parity form
 # measured -1.22 ms (r4j). When True, resnet_stem unblocks (d2s) and uses
-# reduce_window for n>1 — bitwise-equal either way; probe r4n decides.
-S2D4_POOL_D2S_BATCH = False
+# reduce_window for n>1 — bitwise-equal either way. Decided ON by probe
+# r4n (bench_logs/r4queue_r4n.log, v5e 2026-08-19): production AR GOP
+# 14.57 -> 14.14 ms/GOP, bitwise agreement 1.0; the n==1 gate keeps the
+# HR-everyframe baseline (per-frame lax.map) on the faster parity form.
+# (Same probe: WARP_T4 stays False — -0.16 ms single-GOP is inside session
+# noise, multi-GOP B=8 LOSES 11.59 -> 12.97 ms/GOP on the 4x table repeat,
+# and combining it with this flag interferes: +0.25 vs base.)
+S2D4_POOL_D2S_BATCH = True
 
 
 def stem_s2d4_enabled(ctx):

@@ -83,6 +83,29 @@ def test_bise18_model_parity_flag_flip():
     assert (np.asarray(got).argmax(-1) == np.asarray(ref).argmax(-1)).mean() > 0.999
 
 
+def test_pool_d2s_batch_flag_bitwise_identical():
+    """S2D4_POOL_D2S_BATCH only reroutes the batch>1 serving stem between
+    the parity-max chain and d2s+reduce_window — the same max set either
+    way, so the model output must be BITWISE equal across the flip
+    (decided ON by probe r4n: bench_logs/r4queue_r4n.log)."""
+    from arseg_tpu.models import build_model
+
+    model = build_model("camvid-bise18", fuse=False)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(13)
+    x = jnp.asarray(rng.randn(3, 64, 96, 3).astype(np.float32))
+    saved = (Fn.STEM_S2D4_BLOCKS, Fn.S2D4_POOL_D2S_BATCH)
+    try:
+        Fn.STEM_S2D4_BLOCKS = True
+        Fn.S2D4_POOL_D2S_BATCH = False
+        ref = model.apply(params, x)[0]
+        Fn.S2D4_POOL_D2S_BATCH = True
+        got = model.apply(params, x)[0]
+    finally:
+        Fn.STEM_S2D4_BLOCKS, Fn.S2D4_POOL_D2S_BATCH = saved
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_train_ctx_keeps_s2d2_path():
     ctx = Fn.Ctx(train=True, rng=jax.random.PRNGKey(0))
     saved = Fn.STEM_S2D4_BLOCKS

@@ -55,6 +55,12 @@ FUSE_UNROLL = False
 # vs this flag alone — layout interference — so only this one defaults on.)
 CAST_IN_RESIZE = True
 
+# Emit the LR frames as the 4x4-unshuffled z4 layout straight from the
+# resize (ops/resize.resize_bilinear_s2d4) when the serving s2d4 stems will
+# consume it — skips the z12 intermediate + its second 2x2 unshuffle
+# (~0.17 ms/GOP, round-5 profile). Flag for probe A/B (probes/r5).
+LR_INPUT_Z4 = True
+
 
 def _as_tuple(x):
     return x if isinstance(x, tuple) else (x,)
@@ -180,8 +186,19 @@ class ARPipeline:
             and frames.shape[-1] <= 4
             and oh * 2 <= frames.shape[-3]
         ):
-            from arseg_tpu.nn.functional import S2DPacked
+            from arseg_tpu.nn import functional as Fn
+            from arseg_tpu.nn.functional import S2DPacked, S2D4Packed
+            from arseg_tpu.ops.resize import resize_bilinear_s2d4
 
+            if (LR_INPUT_Z4 and Fn.stem_s2d4_enabled(None)
+                    and oh % 4 == 0 and ow % 4 == 0):
+                # serving s2d4 stems eat the z4 layout straight from the
+                # resize — the z12 intermediate + its second unshuffle
+                # (~0.17 ms/GOP, round-5 profile) never materialize
+                return S2D4Packed(
+                    resize_bilinear_s2d4(frames, (oh, ow), True,
+                                         out_dtype=self.dtype)
+                )
             return S2DPacked(
                 resize_bilinear_s2d(frames, (oh, ow), True,
                                     out_dtype=self.dtype)
@@ -459,6 +476,34 @@ class ARPipeline:
             return jnp.concatenate([key[:1], fr_preds[:g1]], axis=0).astype(jnp.int32)
 
         return jax.jit(fn)
+
+    def scan_step(self):
+        """Clip mode: K GOPs processed SEQUENTIALLY in one dispatch.
+
+        Returns a jitted fn(hr_params, lr_params, keyframes [K,H,W,3],
+        frames [K,G-1,H,W,3], fx [K,G-1,Hf,Wf], fy likewise) -> preds
+        [K,G,H,W] int32 that lax.maps the single-GOP program over the K
+        GOPs — the exact per-GOP program of __call__ (GOP i+1's compute
+        starts after GOP i's, preserving single-stream latency semantics),
+        but one host dispatch per clip instead of per GOP. On a
+        local-host deployment dispatch overhead is negligible; through the
+        dev-tunnel harness it measures ~3.5 ms per dispatch (round-5
+        profile: device 10.1 ms vs 13.6 ms wall per GOP), so clip mode is
+        how serving actually runs a stream. Contrast _multi_gop_step
+        (keyframe [B,...] batched throughput mode: BATCHES the B GOPs into
+        one wider program — faster still, but latency-trading)."""
+
+        @jax.jit
+        def fn(hr_params, lr_params, keyframes, frames, fx, fy):
+            return jax.lax.map(
+                lambda args: self._gop_step(
+                    hr_params, lr_params, args[0][None], args[1],
+                    (args[2], args[3]),
+                ),
+                (keyframes, frames, fx, fy),
+            )
+
+        return fn
 
     def streaming_step(self):
         """Frame-at-a-time variant (latency mode): returns jitted fns

@@ -23,6 +23,17 @@ from arseg_tpu.nn.attention import get_fusion
 from arseg_tpu.nn.resnet import make_resnet_config, init_resnet, resnet_apply
 from arseg_tpu.ops import resize_bilinear, resize_nearest, pixel_shuffle
 
+# Fully-fused Pallas inference head (CReFF + final_conv + x8 upsample +
+# argmax in one kernel, ops/pallas_creff.creff_phase2_upsample_argmax).
+# Compiles on the round-4 toolchain after the round-5 per-class 2-D rewrite
+# (the round-3 rank-3 form was a Mosaic pathology) — but measured SLOWER
+# than the XLA planes head in production: 14.27 vs 13.94 ms/GOP
+# (probes/r5/tools_probe_r5b.py, argmax agreement 0.994). The 12 per-class
+# [32,120]x[120,1024] + [240,32]x[32,1024] epilogue dots waste MXU rows
+# that XLA's class-batched einsums fill. Default OFF on that measurement;
+# the kernel stays compile-verified (tools_retest_pathologies.py).
+USE_FUSED_UPSAMPLE_HEAD = False
+
 
 def init_cbr(rng, cin, cout, ks=3):
     return {
@@ -251,18 +262,19 @@ class BiSeNetV1:
         logit is still exactly (1-w)*x0 + w*x1; f32 keeps HIGHEST matmul
         precision), so argmax agrees up to float-tie flips.
 
-        A fully-fused Pallas variant exists
-        (`ops/pallas_creff.creff_phase2_upsample_argmax`, interpret-tested)
-        but is OFF: Mosaic 0.9 cannot lower its channel-major head dots
-        ("infer-vector-layout: unsupported shape cast", vector<16x3840> ->
-        <16x32x120> — the rank-2 x rank-3 dot's result reshape), and every
-        reformulation either needs a lane-crossing reshape or pads 12
-        classes to 128 lanes (~10x FLOP inflation, measured-worse than this
-        XLA form). Re-try on a toolchain bump."""
+        A fully-fused Pallas variant
+        (`ops/pallas_creff.creff_phase2_upsample_argmax`) folds this whole
+        head INTO the CReFF kernel — neither the fused feature nor any
+        logit plane touches HBM. Mosaic 0.9 rejected every rank-3 head form
+        ("infer-vector-layout: unsupported shape cast"); the round-5
+        rewrite (per-class lane-reduction final conv + 2-D upsample matmuls
+        + unrolled argmax chain) lowers cleanly but measured slower than
+        this XLA head in production (see USE_FUSED_UPSAMPLE_HEAD above —
+        default OFF on that A/B; argmax agreement 0.994 on the production
+        program, float-association flips at class boundaries)."""
         from arseg_tpu.ops.local_attention import _use_pallas
         from arseg_tpu.ops.resize import _linear_matrix
 
-        USE_FUSED_UPSAMPLE_HEAD = False  # Mosaic 0.9 limitation, see above
         if (
             USE_FUSED_UPSAMPLE_HEAD
             and _use_pallas()

@@ -74,8 +74,38 @@ class S2DPacked:
         return S2DPacked(self.z.astype(dt))
 
 
+class S2D4Packed:
+    """A 4x4 pixel-unshuffled image batch (two-level _unshuffle2 channel
+    order dy1*8C + dx1*4C + dy2*2C + dx2*C + cc), produced upstream by
+    `ops.resize.resize_bilinear_s2d4` so the LR resize feeds the serving
+    s2d4 block stem (`conv_stem_s2d4_blocks`) directly — neither the
+    resized image nor the z12 intermediate materializes. Only legal at
+    that stem; `.shape`/`.dtype` report the logical geometry."""
+
+    def __init__(self, z4):
+        self.z4 = z4
+
+    @property
+    def shape(self):
+        n, h4, w4, c16 = self.z4.shape
+        return (n, h4 * 4, w4 * 4, c16 // 16)
+
+    @property
+    def dtype(self):
+        return self.z4.dtype
+
+    def astype(self, dt):
+        return S2D4Packed(self.z4.astype(dt))
+
+
 def _conv_s2d_stem(p, x):
     """Exact 7x7/stride-2/pad-3 conv via 2x2 space-to-depth (see conv2d)."""
+    if isinstance(x, S2D4Packed):
+        raise TypeError(
+            "S2D4Packed input reached the s2d2 stem — the caller emitted the "
+            "z4 layout but STEM_S2D4_BLOCKS routing is off; keep the "
+            "emission gated on stem_s2d4_enabled()"
+        )
     w = p["weight"]  # [7, 7, C, O]
     if isinstance(x, S2DPacked):
         n, h, wd, c = x.shape
@@ -202,10 +232,15 @@ def _stem_kernel_s2d4(w):
 def conv_stem_s2d4_blocks(p, x):
     """7x7/s2/p3 stem conv -> block form [n, H/4, W/4, 4*O].
 
-    Accepts a raw [n,H,W,C] image (H, W divisible by 4) or the S2DPacked z12
-    the fused resize emits; either way one more 2x2 unshuffle builds z4."""
-    z12 = x.z if isinstance(x, S2DPacked) else _unshuffle2(x)
-    z4 = _unshuffle2(z12)
+    Accepts a raw [n,H,W,C] image (H, W divisible by 4), the S2DPacked z12
+    the fused s2d resize emits (one more 2x2 unshuffle builds z4), or an
+    S2D4Packed z4 straight from `resize_bilinear_s2d4` (no unshuffle at
+    all)."""
+    if isinstance(x, S2D4Packed):
+        z4 = x.z4
+    else:
+        z12 = x.z if isinstance(x, S2DPacked) else _unshuffle2(x)
+        z4 = _unshuffle2(z12)
     k = _stem_kernel_s2d4(p["weight"])
     out = jax.lax.conv_general_dilated(
         z4, k.astype(z4.dtype), window_strides=(1, 1),

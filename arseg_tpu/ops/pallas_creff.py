@@ -583,7 +583,7 @@ def creff_phase2_argmax(
 def _qkv_upsample_head_kernel(
     lr_ref, ref_ref, wq_ref, wk_ref, wv_ref, fct_ref, fcb_ref, mh_ref, mw_ref,
     out_ref, lbuf, rbuf, sems,
-    *, kh, kw, th, tw, twd, nh, nw, img_h, img_w, up, ncp, wop,
+    *, kh, kw, th, tw, twd, nh, nw, img_h, img_w, up, ncp, wop, n_classes,
 ):
     f32 = jnp.float32
     fused = _fused_module_body(
@@ -594,33 +594,46 @@ def _qkv_upsample_head_kernel(
     in_dtype = lr_ref.dtype
     prec = jax.lax.Precision.HIGHEST if in_dtype == jnp.float32 else None
 
-    # 1x1 final conv straight into channel-major planes: [NCP, TH+2, TW]
-    lg = jax.lax.dot_general(
-        fct_ref[...],
-        fused.astype(in_dtype),
-        (((1,), (2,)), ((), ())),
-        preferred_element_type=f32,
-        precision=prec,
-    )
-    # column upsample FIRST (at TH+2 rows, before the x`up` row expansion —
-    # 2.6x fewer matmul FLOPs than W-after-H): [NCP, TH+2, WOP]
-    lg = jax.lax.dot_general(
-        lg.astype(mw_ref.dtype), mw_ref[...],
-        (((2,), (0,)), ((), ())),
-        preferred_element_type=f32, precision=prec,
-    )
-    # row upsample: per-tile constant matrix [TH*up, TH+2] (image-border
-    # clamping baked into the matrix rows) -> [TH*up, NCP, WOP]
-    lg = jax.lax.dot_general(
-        mh_ref[0], lg.astype(mh_ref.dtype),
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=f32, precision=prec,
-    )
-    # bias post-upsample (exact: both matrices are row-stochastic); padded
-    # classes carry -inf so argmax skips them, padded columns are sliced
-    # off by the caller
-    lg = lg + fcb_ref[...][None].astype(f32)
-    out_ref[0] = jnp.argmax(lg, axis=1).astype(jnp.int32)  # [TH*up, WOP]
+    # Per-class epilogue, fully 2-D: Mosaic 0.9's infer-vector-layout
+    # rejects every rank-3 form of this head (both the channel-major
+    # final-conv dot's result unflatten and the batched upsample dots are
+    # lane-crossing reshapes — "tpu.reshape vector<16x3840> ->
+    # vector<16x32x120>"). So: the 1x1 final conv runs per class as an
+    # elementwise multiply + lane reduction (axis=-1 reductions lower fine
+    # — the attention body's softmax max uses one), and the x`up` bilinear
+    # upsample as plain 2-D matmuls — column upsample first (at TH+2 rows,
+    # before the x`up` row expansion: 2.6x fewer matmul FLOPs than
+    # W-after-H), then the per-tile row matrix (image-border clamping baked
+    # into its rows). The argmax is an unrolled compare chain over the true
+    # n_classes (> keeps the earlier class, matching jnp.argmax's
+    # lowest-index tie rule), so padded classes are never touched and need
+    # no -inf bias.
+    mw = mw_ref[...]
+    mh0 = mh_ref[0]
+    best = None
+    idx = None
+    for cls in range(n_classes):
+        wc = fct_ref[cls].astype(f32)  # [CP]
+        lgc = jnp.sum(fused * wc[None, None, :], axis=-1)  # [TH+2, TW] f32
+        lgc = lgc.astype(mw.dtype)
+        col = jax.lax.dot_general(
+            lgc, mw, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=prec,
+        )  # [TH+2, WOP]
+        row = jax.lax.dot_general(
+            mh0, col.astype(mh0.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=prec,
+        )  # [TH*up, WOP]
+        # bias post-upsample (exact: both matrices are row-stochastic)
+        val = row + fcb_ref[cls, 0].astype(f32)
+        if best is None:
+            best = val
+            idx = jnp.zeros(val.shape, jnp.int32)
+        else:
+            take = val > best
+            best = jnp.where(take, val, best)
+            idx = jnp.where(take, jnp.int32(cls), idx)
+    out_ref[0] = idx  # [TH*up, WOP]
 
 
 @functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
@@ -721,6 +734,7 @@ def creff_phase2_upsample_argmax(
         functools.partial(
             _qkv_upsample_head_kernel, kh=kh, kw=kw, th=th, tw=tw, twd=twd,
             nh=nh, nw=nw, img_h=h, img_w=w, up=up, ncp=ncp, wop=wop,
+            n_classes=n_classes,
         ),
         out_shape=jax.ShapeDtypeStruct((n, hp * up, wop), jnp.int32),
         grid=(n, nh, nw),

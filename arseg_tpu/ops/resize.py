@@ -285,6 +285,63 @@ def resize_bilinear_s2d(x, out_hw, align_corners: bool, out_dtype=None):
     return jnp.concatenate(zs, axis=-1)
 
 
+def resize_bilinear_s2d4(x, out_hw, align_corners: bool, out_dtype=None):
+    """Fused bilinear resize + 4x4 pixel-unshuffle of [..., H, W, C] (C<=4):
+    emits [..., oh/4, ow/4, 16C] in the two-level unshuffle order
+    ``_unshuffle2(_unshuffle2(resized))`` — channel index
+    dy1*8C + dx1*4C + dy2*2C + dx2*C + cc for logical pixel
+    (4i + 2*dy1 + dy2, 4j + 2*dx1 + dx2) — the exact z4 layout
+    `nn.functional.conv_stem_s2d4_blocks` consumes (serving s2d4 stems).
+
+    Same construction as resize_bilinear_s2d one level deeper: each of the
+    16 parity outputs is an (mh[p::4], mw[q::4]) sub-matrix pair of the same
+    interpolation matrices, so per output element the contraction row is
+    identical — bit-identical to s2d(resize) on the MXU, and the resized
+    tensor, the z12 intermediate, and its second 2x2 unshuffle (two
+    [n,oh/4,ow/4,8C] slice copies + concat, ~0.17 ms/GOP on the
+    camvid-bise18 LR batch, round-5 profile) never materialize.
+
+    Requires out_hw divisible by 4 and a >=2x H downsample.
+    """
+    h, w = x.shape[-3], x.shape[-2]
+    c = x.shape[-1]
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    if oh % 4 or ow % 4 or c > 4 or oh * 2 > h:
+        raise ValueError(
+            f"resize_bilinear_s2d4: need out_hw % 4 == 0, C<=4, >=2x H "
+            f"downsample (got {x.shape} -> {out_hw})"
+        )
+    mh = _linear_matrix(h, oh, align_corners)
+    mw = _linear_matrix(w, ow, align_corners)
+    xm = x.reshape(x.shape[:-2] + (w * c,))
+    if out_dtype is not None and xm.dtype != jnp.dtype(out_dtype):
+        xm = xm.astype(out_dtype)  # same folded serving cast as _s2d
+    f32 = xm.dtype == jnp.float32
+    ys = []
+    for p in range(4):  # row parity p = 2*dy1 + dy2
+        mh_p = jnp.asarray(mh[p::4])
+        if f32:
+            ym = jnp.einsum("ph,...hx->...px", mh_p, xm, precision="highest")
+        else:
+            ym = jnp.einsum("ph,...hx->...px", mh_p.astype(xm.dtype), xm)
+        ys.append(ym.reshape(ym.shape[:-1] + (w, c)))
+    zs = []
+    for dy1 in (0, 1):
+        for dx1 in (0, 1):
+            for dy2 in (0, 1):
+                for dx2 in (0, 1):
+                    mw_q = jnp.asarray(mw[(2 * dx1 + dx2)::4])
+                    yp = ys[2 * dy1 + dy2]
+                    if f32:
+                        z = jnp.einsum("qw,...hwc->...hqc", mw_q, yp,
+                                       precision="highest")
+                    else:
+                        z = jnp.einsum("qw,...hwc->...hqc",
+                                       mw_q.astype(xm.dtype), yp)
+                    zs.append(z)
+    return jnp.concatenate(zs, axis=-1)
+
+
 def resize_bilinear_padded(x, out_hw, align_corners: bool, pads):
     """Fused bilinear resize + zero-pad of [..., H, W, C]: emits
     [..., pt+oh+pb, pl+ow+pr, C] with an exact-0.0 pad ring.

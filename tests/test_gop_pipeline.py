@@ -263,3 +263,21 @@ def test_streaming_step_device_normalize():
     p_u = frame_step(lrp, feat_u, jnp.asarray(fr_u8), (fx, fy))
     p_f = frame_step(lrp, feat_f, jnp.asarray(norm(fr_u8)), (fx, fy))
     np.testing.assert_array_equal(np.asarray(p_u), np.asarray(p_f))
+
+
+def test_scan_step_matches_single(setup):
+    """Clip mode (K GOPs sequential in one dispatch) must reproduce the
+    single-GOP program exactly — it lax.maps the identical _gop_step."""
+    hr, lr, hp, lp, kf, fr, fl = setup
+    K = 2
+    rng = np.random.RandomState(6)
+    kfs = jnp.asarray(rng.randn(K, H, W, 3).astype(np.float32))
+    frs = jnp.asarray(rng.randn(K, G - 1, H, W, 3).astype(np.float32))
+    fxs = jnp.asarray(rng.uniform(-4, 4, (K, G - 1, H, W)).astype(np.float32))
+    fys = jnp.asarray(rng.uniform(-4, 4, (K, G - 1, H, W)).astype(np.float32))
+    pipe = ARPipeline(hr, lr, scale=0.5)
+    clip = np.asarray(pipe.scan_step()(hp, lp, kfs, frs, fxs, fys))
+    assert clip.shape == (K, G, H, W)
+    for k in range(K):
+        one = np.asarray(pipe(hp, lp, kfs[k : k + 1], frs[k], (fxs[k], fys[k])))
+        np.testing.assert_array_equal(clip[k], one)

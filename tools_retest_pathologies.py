@@ -150,7 +150,11 @@ if __name__ == "__main__":
     #                         chunked path stays non-default — p1_batched
     #                         subsumed its memory-bounding role and is faster)
     #   batch8-phase1-psp18   STILL-BROKEN (production uses --accum_steps)
-    #   fused-bise18-head     STILL-BROKEN (XLA planes head shipped instead)
+    #   fused-bise18-head     PASS since round 5 (the per-class 2-D rewrite
+    #                         lowers; the rank-3 form was the pathology) — but
+    #                         measured SLOWER than the XLA planes head
+    #                         (probes/r5/tools_probe_r5b.py: 14.27 vs 13.94
+    #                         ms/GOP), so USE_FUSED_UPSAMPLE_HEAD stays False
     #   batched-warp-n11      STILL-BROKEN — minimized by probes/r4/
     #                         tools_probe_r4a.py: flow-plane bilinear resize
     #                         producer + batched n=11 warp + lax.map(CReFF)
@@ -160,9 +164,10 @@ if __name__ == "__main__":
     #                         around it with the per-frame warp inside the map.
     run("lr_chunk2-bise18", CASE_LR_CHUNK)
     run("batch8-phase1-psp18", CASE_BATCH8_TRAIN)
-    # Mosaic 0.9 rejects the channel-major head dot ("unsupported shape
-    # cast", nn/bisenet.py:forward_phase2_argmax docstring). PASS here =>
-    # flip USE_FUSED_UPSAMPLE_HEAD on and re-measure the head delta.
+    # Compiles since the round-5 per-class rewrite; kept in the retest so
+    # a toolchain regression on the lane-reduction/2-D-dot epilogue is
+    # caught. (Perf decision: XLA planes head stays default, see
+    # nn/bisenet.py USE_FUSED_UPSAMPLE_HEAD.)
     run("fused-bise18-head", CASE_FUSED_HEAD)
     # PASS here => retry ARPipeline batched-warp variants (PERF.md r3 GOP
     # budget: probe B's batched-p1/batched-fuse were the blocked designs).

@@ -69,6 +69,11 @@ def main(argv=None):
                    help="H.264 carrier bitstream for --video (same frames, "
                         "same --ref_gap; MVs decoded + chain-merged in "
                         "memory)")
+    p.add_argument("--mv_analysis", default=None,
+                   help="x265 analysis-save sidecar of the --video stream "
+                        "(written by `arseg-preprocess`/arsegvid encodes as "
+                        "<stream>.analysis): HEVC-native PU MVs, no carrier "
+                        "needed. Mutually exclusive with --mv_carrier.")
     args = p.parse_args(argv)
 
     # flag validation BEFORE the expensive model/checkpoint loads
@@ -78,7 +83,7 @@ def main(argv=None):
         if args.gop_batch > 1:
             p.error("--streams and --gop_batch are mutually exclusive "
                     "(streams batch across the mesh instead)")
-        if args.video or args.mv_carrier:
+        if args.video or args.mv_carrier or args.mv_analysis:
             p.error("--video serves one stream; use --streams OR --video")
         if args.gop_devices:
             p.error("--streams and --gop_devices are mutually exclusive "
@@ -90,9 +95,11 @@ def main(argv=None):
                 if missing:
                     raise SystemExit(
                         f"video stream file(s) not found: {missing}")
-    elif args.video or args.mv_carrier:
-        if not (args.video and args.mv_carrier):
-            p.error("--video and --mv_carrier go together")
+    elif args.video or args.mv_carrier or args.mv_analysis:
+        if args.mv_carrier and args.mv_analysis:
+            p.error("--mv_carrier and --mv_analysis are mutually exclusive")
+        if not (args.video and (args.mv_carrier or args.mv_analysis)):
+            p.error("--video goes with --mv_carrier or --mv_analysis")
         if args.data_path or args.flow_path:
             p.error("--video is mutually exclusive with --data_path/--flow_path")
     elif not (args.data_path and args.flow_path):
@@ -155,8 +162,10 @@ def main(argv=None):
         mean, std = _backend_norm(args.backend)
         from arseg_tpu.gop.video_source import VideoGOPSource
 
-        src = VideoGOPSource(args.video, args.mv_carrier, g, mean, std,
-                             device_normalize=True)
+        src = VideoGOPSource(args.video, args.mv_carrier or args.mv_analysis,
+                             g, mean, std, device_normalize=True,
+                             mv_kind="analysis" if args.mv_analysis
+                             else "carrier")
         _serve_gops(args, pipe, hr_params, ar_params, src, names=None)
         return
 

@@ -20,6 +20,10 @@ def main(argv=None):
     g.add_argument("--bitrate", type=int, default=3000)
     g.add_argument("--fps", type=int, default=30)
     g.add_argument("--splits", default="train,val,test")
+    g.add_argument("--mv_source", choices=("hevc", "carrier"), default="hevc",
+                   help="hevc = MVs from the HEVC encode's own analysis dump "
+                        "(default; the reference-faithful source), carrier = "
+                        "legacy H.264 re-encode MVs")
 
     c = sub.add_parser("cityscapes", help="generate compressed Cityscapes data")
     c.add_argument("--cityscapes_root", required=True)
@@ -27,6 +31,7 @@ def main(argv=None):
     c.add_argument("--bitrate", type=int, default=5000)
     c.add_argument("--fps", type=int, default=30)
     c.add_argument("--splits", default="train,val")
+    c.add_argument("--mv_source", choices=("hevc", "carrier"), default="hevc")
 
     l = sub.add_parser("labels", help="CamVid RGB label PNGs -> index maps")
     l.add_argument("label_dir")
@@ -43,6 +48,7 @@ def main(argv=None):
         generate_compressed_camvid(
             args.camvid_root, args.sequence_root, ref_gap=args.gop,
             bitrate=args.bitrate, fps=args.fps, splits=tuple(args.splits.split(",")),
+            mv_source=args.mv_source,
         )
     elif args.cmd == "cityscapes":
         from arseg_tpu.tools.preprocess import generate_compressed_cityscapes
@@ -50,6 +56,7 @@ def main(argv=None):
         generate_compressed_cityscapes(
             args.cityscapes_root, ref_gap=args.gop, bitrate=args.bitrate,
             fps=args.fps, splits=tuple(args.splits.split(",")),
+            mv_source=args.mv_source,
         )
     elif args.cmd == "labels":
         from arseg_tpu.tools.labels import convert_label_dir

@@ -46,7 +46,7 @@ class VideoGOPSource:
 
     def __init__(self, hevc_path, carrier_path, ref_gap, mean, std,
                  native=None, lookahead=2, device_normalize=False,
-                 merge_threads=0):
+                 merge_threads=0, mv_kind="carrier"):
         if native is None:
             from arseg_tpu.tools.video import load_native
 
@@ -71,6 +71,14 @@ class VideoGOPSource:
         # (0 = all cores); hosts serving several streams/workers should
         # pass ~cores/streams so concurrent merges don't oversubscribe
         self.merge_threads = int(merge_threads)
+        # mv_kind: 'carrier' decodes carrier_path as an H.264 stream with
+        # export_mvs; 'analysis' reads it as the x265 analysis-save sidecar
+        # the HEVC encode dumped (arsegvid_encode_analysis) — the
+        # HEVC-native MV source, no carrier stream at all. Both yield the
+        # same per-frame int16 [H, W, 3] maps.
+        if mv_kind not in ("carrier", "analysis"):
+            raise ValueError(f"mv_kind must be carrier|analysis, got {mv_kind}")
+        self.mv_kind = mv_kind
 
     class _Abort(Exception):
         """Internal: consumer abandoned the iteration; unwind the decode."""
@@ -123,7 +131,9 @@ class VideoGOPSource:
             ),
             threading.Thread(
                 target=self._decode_thread,
-                args=(self.native.decode_mvs_cb, self.carrier_path, mv_q, stop),
+                args=(self.native.decode_mvs_cb if self.mv_kind == "carrier"
+                      else self.native.hevc_analysis_mvs_cb,
+                      self.carrier_path, mv_q, stop),
                 daemon=True,
             ),
         ]

@@ -123,9 +123,11 @@ def _psnr(a, b):
     return 10.0 * np.log10(255.0 * 255.0 / mse)
 
 
-def measure(paths, gop=12, bitrate_kbps=3000, fps=30, gt=None, workdir=None):
+def measure(paths, gop=12, bitrate_kbps=3000, fps=30, gt=None, workdir=None,
+            mv_source="carrier"):
     """Run the native GOP pipeline on `paths` (one GOP) and score the merged
-    MV maps. Returns a list of per-distance dicts."""
+    MV maps. mv_source: 'carrier' (H.264 re-encode) or 'hevc' (the HEVC
+    encode's own analysis MVs). Returns a list of per-distance dicts."""
     from PIL import Image
 
     nv = load_native()
@@ -135,7 +137,7 @@ def measure(paths, gop=12, bitrate_kbps=3000, fps=30, gt=None, workdir=None):
     wd = workdir or tmp_ctx.name
     n = len(paths)
     nv.gop_pipeline(paths, wd, fps=fps, bitrate_kbps=bitrate_kbps, gop=gop,
-                    merge_upto=n - 1)
+                    merge_upto=n - 1, mv_source=mv_source)
 
     dec = [
         np.asarray(Image.open(os.path.join(wd, f"decoded-{f + 1:03d}.png")))
@@ -174,6 +176,8 @@ def main(argv=None):
     p.add_argument("--gop", type=int, default=12)
     p.add_argument("--bitrate", type=int, default=3000, help="kbps")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mv_source", choices=("carrier", "hevc"),
+                   default="carrier")
     args = p.parse_args(argv)
 
     gt = None
@@ -189,7 +193,8 @@ def main(argv=None):
     else:
         raise SystemExit("pass --frames or --synthetic")
 
-    rows = measure(paths, gop=args.gop, bitrate_kbps=args.bitrate, gt=gt)
+    rows = measure(paths, gop=args.gop, bitrate_kbps=args.bitrate, gt=gt,
+                   mv_source=args.mv_source)
     for r in rows:
         print(json.dumps(r))
     gain = [r["psnr_warp"] - r["psnr_nowarp"] for r in rows]

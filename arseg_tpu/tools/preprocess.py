@@ -24,11 +24,12 @@ from arseg_tpu.data.camvid import SCENE_LENGTH_INFO, dataset_frame_idx
 from arseg_tpu.tools.video import load_native
 
 
-def _window_pipeline(native, image_paths, workspace, fps, bitrate, gop, key_dist):
+def _window_pipeline(native, image_paths, workspace, fps, bitrate, gop, key_dist,
+                     mv_source="hevc"):
     os.makedirs(workspace, exist_ok=True)
     native.gop_pipeline(
         image_paths, workspace, fps=fps, bitrate_kbps=bitrate, gop=gop,
-        merge_upto=key_dist,
+        merge_upto=key_dist, mv_source=mv_source,
     )
 
 
@@ -50,10 +51,16 @@ def generate_compressed_camvid(
     key_dists=None,
     workspace=None,
     progress=print,
+    mv_source="hevc",
 ):
     """CamVid: annotated frames live in `<camvid_root>/<split>/`, full video
     frames in `<sequence_root>/frames/<scene>/`. The annotated<->encoded
-    index offset comes from SCENE_LENGTH_INFO (reference ...camvid.py:58-83,151)."""
+    index offset comes from SCENE_LENGTH_INFO (reference ...camvid.py:58-83,151).
+
+    mv_source: 'hevc' (default) takes MVs from the HEVC encode's own
+    analysis dump — the bitstream's actual PU motion field, equivalent to
+    the reference's libde265-MV decode-side dump (.gitmodules:1-3);
+    'carrier' keeps the legacy H.264 re-encode source."""
     native = load_native()
     if native is None:
         raise RuntimeError("native arsegvid library unavailable (run `make -C native`)")
@@ -102,7 +109,8 @@ def generate_compressed_camvid(
                     window = [os.path.join(scene_dir, n) for n in image_list[lo:hi]]
                     ws = os.path.join(ws_root, "gop")
                     shutil.rmtree(ws, ignore_errors=True)
-                    _window_pipeline(native, window, ws, fps, bitrate, ref_gap, key_dist)
+                    _window_pipeline(native, window, ws, fps, bitrate,
+                                     ref_gap, key_dist, mv_source)
                     key_idx = enc_idx - key_dist
                     _collect(
                         ws, key_dist,
@@ -137,6 +145,7 @@ def generate_compressed_cityscapes(
     key_dists=None,
     workspace=None,
     progress=print,
+    mv_source="hevc",
 ):
     """Cityscapes: annotated frame is index 19 of each 30-frame snippet in
     `leftImg8bit_sequence/<split>/<city>/`; the GOP window ends at the
@@ -185,7 +194,8 @@ def generate_compressed_cityscapes(
                         continue
                     ws = os.path.join(ws_root, "gop")
                     shutil.rmtree(ws, ignore_errors=True)
-                    _window_pipeline(native, window, ws, fps, bitrate, ref_gap, key_dist)
+                    _window_pipeline(native, window, ws, fps, bitrate,
+                                     ref_gap, key_dist, mv_source)
                     key_name = "_".join(stem[:2] + [f"{start_idx:06d}", "leftImg8bit.png"])
                     _collect(
                         ws, key_dist,

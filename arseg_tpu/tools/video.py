@@ -88,6 +88,19 @@ class NativeVideo:
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_char_p,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
+        lib.arsegvid_gop_pipeline2.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_char_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.arsegvid_encode_analysis.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_char_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
+        ]
+        lib.arsegvid_hevc_mvdump.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+        lib.arsegvid_hevc_analysis_mvs_cb.argtypes = [
+            ctypes.c_char_p, self._MV_CB, ctypes.c_void_p,
+        ]
         self._lib = lib
 
     def _check(self, ret):
@@ -116,6 +129,43 @@ class NativeVideo:
     def mvdump(self, bitstream_path, out_dir):
         return self._check(self._lib.arsegvid_mvdump(
             os.fspath(bitstream_path).encode(), os.fspath(out_dir).encode()))
+
+    def encode_analysis(self, image_paths, out_path, analysis_out, fps=30,
+                        bitrate_kbps=3000, gop=12):
+        """libx265 encode that ALSO dumps the encoder's analysis data
+        (PU-level HEVC MVs) to `analysis_out` — the HEVC-native MV source
+        (see native/arsegvid.h)."""
+        self._check(self._lib.arsegvid_encode_analysis(
+            self._paths(image_paths), len(image_paths),
+            os.fspath(out_path).encode(), fps, bitrate_kbps, gop,
+            os.fspath(analysis_out).encode()))
+
+    def hevc_mvdump(self, analysis_path, out_dir):
+        """Rasterize an x265 analysis-save file into per-frame
+        test_%03d.bin MV maps (same contract as mvdump). Returns frame
+        count."""
+        return self._check(self._lib.arsegvid_hevc_mvdump(
+            os.fspath(analysis_path).encode(), os.fspath(out_dir).encode()))
+
+    def hevc_analysis_mvs_cb(self, analysis_path, on_frame):
+        """In-memory per-frame MV maps from an analysis-save file (every
+        frame; keyframes get the all-intra map), int16 [h, w, 3]."""
+        err = []
+
+        def _cb(_user, idx, w, h, ptr):
+            try:
+                arr = np.ctypeslib.as_array(ptr, shape=(h, w, 3))
+                on_frame(idx, arr)
+                return 0
+            except Exception as e:  # noqa: BLE001
+                err.append(e)
+                return -1
+
+        ret = self._lib.arsegvid_hevc_analysis_mvs_cb(
+            os.fspath(analysis_path).encode(), self._MV_CB(_cb), None)
+        if err:
+            raise err[0]
+        return self._check(ret)
 
     def _decode_cb(self, native_fn, cbtype, bitstream_path, on_frame):
         """Shared callback-decode driver: `on_frame(idx, arr)` gets an
@@ -166,10 +216,15 @@ class NativeVideo:
         return out
 
     def gop_pipeline(self, image_paths, out_dir, fps=30, bitrate_kbps=3000,
-                     gop=12, merge_upto=0):
-        self._check(self._lib.arsegvid_gop_pipeline(
+                     gop=12, merge_upto=0, mv_source="carrier"):
+        """mv_source: 'carrier' (H.264 re-encode MVs, legacy) or 'hevc'
+        (the HEVC encode's own analysis MVs — the reference-faithful
+        source, no carrier encode)."""
+        src = {"carrier": 0, "hevc": 1}[mv_source]
+        self._check(self._lib.arsegvid_gop_pipeline2(
             self._paths(image_paths), len(image_paths),
-            os.fspath(out_dir).encode(), fps, bitrate_kbps, gop, merge_upto))
+            os.fspath(out_dir).encode(), fps, bitrate_kbps, gop, merge_upto,
+            src))
 
 
 def merge_motion_np(bins, max_ref=3):

@@ -214,7 +214,8 @@ std::string join_path(const char *dir, const char *fmtstr, int i) {
 
 int encode_impl(const char *const *image_paths, int n_frames,
                 const char *out_path, const char *codec_name, int fps,
-                int bitrate_kbps, int gop) {
+                int bitrate_kbps, int gop,
+                const char *analysis_save = nullptr) {
   const AVCodec *codec = avcodec_find_encoder_by_name(codec_name);
   if (!codec) return fail(std::string("no encoder ") + codec_name);
 
@@ -236,14 +237,26 @@ int encode_impl(const char *const *image_paths, int n_frames,
   ctx.c->thread_count = 4;
   if (bitrate_kbps > 0) ctx.c->bit_rate = (int64_t)bitrate_kbps * 1000;
 
-  char params[256];
+  char params[512];
   if (std::strcmp(codec_name, "libx265") == 0) {
     /* parity with the reference encode: closed GOP of exactly `gop`, no
-     * B-frames, rect/amp partitions on (reference ...camvid.py:231) */
+     * B-frames, rect/amp partitions on (reference ...camvid.py:231).
+     * analysis_save: x265's own analysis dump (PU depths/partitions/MVs —
+     * the encoder's final coding decisions, i.e. exactly the motion field
+     * a conformant HEVC decoder reconstructs from the bitstream); parsed
+     * by analysis_mv_maps below into the reference's test_%03d.bin MV
+     * contract, replacing the libde265-MV fork decode-side dump
+     * (reference .gitmodules:1-3, ...camvid.py:242). */
     std::snprintf(params, sizeof(params),
                   "keyint=%d:min-keyint=%d:bframes=0:scenecut=0:open-gop=0:"
                   "rect=1:amp=1",
                   gop, gop);
+    if (analysis_save) {
+      size_t len = std::strlen(params);
+      std::snprintf(params + len, sizeof(params) - len,
+                    ":analysis-save=%s:analysis-save-reuse-level=10",
+                    analysis_save);
+    }
     av_opt_set(ctx.c->priv_data, "x265-params", params, 0);
     av_opt_set(ctx.c->priv_data, "preset", "medium", 0);
   } else if (std::strcmp(codec_name, "libx264") == 0) {
@@ -362,6 +375,215 @@ void rasterize_mvs(const AVFrame *frame, std::vector<int16_t> &out) {
   }
 }
 
+/* ---------------- x265 analysis-save parsing (HEVC-native MVs) ----------
+ *
+ * The reference obtains HEVC motion vectors by DECODING the stream with a
+ * forked libde265 (`dec265 -p`, .gitmodules:1-3). FFmpeg's HEVC decoder
+ * exports no MVs, so we capture the same field on the ENCODE side instead:
+ * x265's analysis-save file (reuse level 10) records every CTU's final CU
+ * quadtree, PU partitioning, per-PU motion vectors (quarter-pel) and
+ * reference indices — the coding decisions serialized into the bitstream,
+ * hence bit-identical to what any conformant decoder reconstructs.
+ *
+ * File format (x265 build 199, the pinned system libx265; validated
+ * empirically against known-motion encodes — see tests):
+ *   [80-byte global header]  int32 @60 = reuse level (10 required),
+ *                            int32 @68/@72/@76 = width/height/ctuSize
+ *   then per frame: 32-byte record header
+ *     u32 frameRecordSize, u32 depthBytes, i32 poc, i32 sliceType
+ *     (1=IDR 2=I 3=P), i32 bScenecut, i64 satdCost, u32 numCUsInFrame,
+ *     u32 numPartitions (=256 for 64px CTUs)
+ *   I/IDR body: u32 + {depth, chromaModes, partSizes, qpoff}[depthBytes]
+ *               + modes[numCUs*256]
+ *   P body:     3x16B weight params + 9 byte arrays [depthBytes]
+ *               (depth, predMode, qpoff, partSize, mergeFlag, interDir,
+ *               chromaModes, mvpIdx, refIdx) + depthBytes 8-byte entries
+ *               (int32 mvx, int32 mvy — quarter-pel) + intraModes[numCUs*256]
+ *   Entries are PER PU: a CU with partSize p contributes numPU(p) entries;
+ *   depth/partSize are valid at the CU's FIRST entry only (later PU slots
+ *   hold garbage there, but carry their own real MV/refIdx — PU-accurate,
+ *   the same granularity the libde265-MV dump provides). predMode: 1 =
+ *   inter, 2 = intra, 5 = skip (MODE_INTER|4), 0 = none (out-of-picture
+ *   boundary area).
+ */
+
+const int kNumPU[8] = {1, 2, 2, 4, 2, 2, 2, 2};
+
+/* absPartIdx (z-order over the CTU's 16x16 grid of 4px units) -> (y4, x4) */
+inline void zorder_yx(int idx, int *y4, int *x4) {
+  int x = 0, y = 0;
+  for (int b = 0; b < 4; b++) {
+    x |= ((idx >> (2 * b)) & 1) << b;
+    y |= ((idx >> (2 * b + 1)) & 1) << b;
+  }
+  *y4 = y;
+  *x4 = x;
+}
+
+/* PU rectangles (x, y, w, h) of an HEVC partSize within a CU. */
+inline int pu_rects(int cx, int cy, int s, int part, int r[4][4]) {
+  int q = s / 4, h = s / 2;
+  switch (part) {
+    case 0: r[0][0] = cx; r[0][1] = cy; r[0][2] = s; r[0][3] = s; return 1;
+    case 1: /* 2NxN */
+      r[0][0] = cx; r[0][1] = cy;     r[0][2] = s; r[0][3] = h;
+      r[1][0] = cx; r[1][1] = cy + h; r[1][2] = s; r[1][3] = h; return 2;
+    case 2: /* Nx2N */
+      r[0][0] = cx;     r[0][1] = cy; r[0][2] = h; r[0][3] = s;
+      r[1][0] = cx + h; r[1][1] = cy; r[1][2] = h; r[1][3] = s; return 2;
+    case 3: /* NxN */
+      for (int i = 0; i < 4; i++) {
+        r[i][0] = cx + (i % 2) * h; r[i][1] = cy + (i / 2) * h;
+        r[i][2] = h; r[i][3] = h;
+      }
+      return 4;
+    case 4: /* 2NxnU */
+      r[0][0] = cx; r[0][1] = cy;     r[0][2] = s; r[0][3] = q;
+      r[1][0] = cx; r[1][1] = cy + q; r[1][2] = s; r[1][3] = s - q; return 2;
+    case 5: /* 2NxnD */
+      r[0][0] = cx; r[0][1] = cy;         r[0][2] = s; r[0][3] = s - q;
+      r[1][0] = cx; r[1][1] = cy + s - q; r[1][2] = s; r[1][3] = q; return 2;
+    case 6: /* nLx2N */
+      r[0][0] = cx;     r[0][1] = cy; r[0][2] = q;     r[0][3] = s;
+      r[1][0] = cx + q; r[1][1] = cy; r[1][2] = s - q; r[1][3] = s; return 2;
+    default: /* 7, nRx2N */
+      r[0][0] = cx;         r[0][1] = cy; r[0][2] = s - q; r[0][3] = s;
+      r[1][0] = cx + s - q; r[1][1] = cy; r[1][2] = q;     r[1][3] = s;
+      return 2;
+  }
+}
+
+inline uint32_t rd_u32(const uint8_t *p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return v;
+}
+inline int32_t rd_i32(const uint8_t *p) {
+  int32_t v;
+  std::memcpy(&v, p, 4);
+  return v;
+}
+/* Parse an analysis-save file; for each frame (poc order) fill the dense
+ * int16 [h, w, 3] MV map (same contract as rasterize_mvs: (0,0,-1)
+ * background; (qx, qy, refIdx) on inter/skip PUs where refIdx r means
+ * "r+1 frames back" — the merge's ref offset code) and invoke
+ * sink(poc, w, h, map). Returns frame count or negative. */
+template <typename Sink>
+int analysis_mv_maps(const char *path, Sink &&sink) {
+  FILE *fp = std::fopen(path, "rb");
+  if (!fp) return fail(std::string("cannot open analysis file ") + path);
+  std::fseek(fp, 0, SEEK_END);
+  long size = std::ftell(fp);
+  std::fseek(fp, 0, SEEK_SET);
+  std::vector<uint8_t> d(size);
+  if (std::fread(d.data(), 1, size, fp) != (size_t)size) {
+    std::fclose(fp);
+    return fail("short read on analysis file");
+  }
+  std::fclose(fp);
+  if (size < 80) return fail("analysis file too small");
+  int level = rd_i32(&d[60]);
+  int w = rd_i32(&d[68]), h = rd_i32(&d[72]), ctu = rd_i32(&d[76]);
+  if (level != 10 || ctu != 64 || w <= 0 || h <= 0)
+    return fail("unsupported analysis header (need reuse level 10, CTU 64)");
+  int ctus_w = (w + ctu - 1) / ctu;
+
+  std::vector<int16_t> map;
+  size_t total = (size_t)h * w * 3;
+  long off = 80;
+  int count = 0;
+  while (off + 36 <= size) {
+    /* 36-byte record header: u32 frameRecordSize, u32 depthBytes, i32 poc,
+     * i32 sliceType, i32 bScenecut, i64 satdCost, u32 numCUs, u32 numParts */
+    uint32_t frs = rd_u32(&d[off]), db = rd_u32(&d[off + 4]);
+    int poc = rd_i32(&d[off + 8]), st = rd_i32(&d[off + 12]);
+    uint32_t ncu = rd_u32(&d[off + 28]), npart = rd_u32(&d[off + 32]);
+    if (frs < 36 || off + (long)frs > size)
+      return fail("analysis record overruns file");
+    if (npart != 256) return fail("unexpected numPartitions in analysis");
+    const uint8_t *body = &d[off + 36];
+    size_t blen = frs - 36;
+
+    /* background = (0, 0, -1) */
+    map.assign(total, 0);
+    for (size_t i = 2; i < total; i += 3) map[i] = -1;
+
+    if (st == 1 || st == 2) { /* I/IDR: all-intra map */
+      if (blen != 4 * (size_t)db + 256 * (size_t)ncu)
+        return fail("unexpected intra analysis record size");
+      int r = sink(poc, w, h, map.data());
+      if (r < 0) return r;
+      off += frs;
+      count++;
+      continue;
+    }
+    if (st != 3) return fail("unexpected slice type in analysis (need P)");
+    size_t base = 48; /* 3x16B weight params */
+    if (blen != base + 17 * (size_t)db + 256 * (size_t)ncu) {
+      base = 0; /* weightp off variant */
+      if (blen != base + 17 * (size_t)db + 256 * (size_t)ncu)
+        return fail("unexpected inter analysis record size");
+    }
+    const uint8_t *depth = body + base;
+    const uint8_t *modes = depth + db;
+    const uint8_t *partsize = depth + 3 * (size_t)db;
+    const uint8_t *refidx = depth + 8 * (size_t)db;
+    const uint8_t *ents = depth + 9 * (size_t)db;
+
+    uint32_t i = 0;
+    for (uint32_t cu_addr = 0; cu_addr < ncu; cu_addr++) {
+      int ctu_x = (cu_addr % ctus_w) * ctu;
+      int ctu_y = (cu_addr / ctus_w) * ctu;
+      uint32_t ap = 0;
+      while (ap < npart) {
+        if (i >= db) return fail("analysis PU walk overran entry array");
+        int dep = depth[i];
+        if (dep > 3) return fail("bad CU depth in analysis");
+        int s = ctu >> dep;
+        int y4, x4;
+        zorder_yx((int)ap, &y4, &x4);
+        int cu_x = ctu_x + 4 * x4, cu_y = ctu_y + 4 * y4;
+        int mode = modes[i];
+        int n_ent = 1;
+        int rects[4][4];
+        if (mode == 1 || mode == 5) { /* inter / skip */
+          int part = partsize[i];
+          if (part > 7) return fail("bad partSize in analysis");
+          n_ent = pu_rects(cu_x, cu_y, s, part, rects);
+          for (int k = 0; k < n_ent; k++) {
+            int32_t mx = rd_i32(ents + 8 * (size_t)(i + k));
+            int32_t my = rd_i32(ents + 8 * (size_t)(i + k) + 4);
+            int16_t qx = (int16_t)std::max(-32768, std::min(32767, mx));
+            int16_t qy = (int16_t)std::max(-32768, std::min(32767, my));
+            int rf = refidx[i + k];
+            int x0 = rects[k][0], y0 = rects[k][1];
+            int x1 = std::min(x0 + rects[k][2], w);
+            int y1 = std::min(y0 + rects[k][3], h);
+            for (int y = y0; y < y1; y++) {
+              int16_t *row = map.data() + ((size_t)y * w + x0) * 3;
+              for (int x = x0; x < x1; x++) {
+                row[0] = qx;
+                row[1] = qy;
+                row[2] = (int16_t)rf;
+                row += 3;
+              }
+            }
+          }
+        }
+        i += n_ent;
+        ap += 256u >> (2 * dep);
+      }
+      if (ap != npart) return fail("analysis CU walk misaligned");
+    }
+    if (i != db) return fail("analysis entry count mismatch");
+    int r = sink(poc, w, h, map.data());
+    if (r < 0) return r;
+    off += frs;
+    count++;
+  }
+  return count;
+}
+
 } /* namespace */
 
 /* ---------------- public API ---------------- */
@@ -398,6 +620,37 @@ extern "C" int arsegvid_mvdump(const char *bitstream_path,
     std::fclose(fp);
     return 0;
   });
+}
+
+extern "C" int arsegvid_encode_analysis(const char *const *image_paths,
+                                        int n_frames, const char *out_path,
+                                        int fps, int bitrate_kbps, int gop,
+                                        const char *analysis_out) {
+  if (n_frames <= 0) return fail("empty frame list");
+  return encode_impl(image_paths, n_frames, out_path, "libx265", fps,
+                     bitrate_kbps, gop, analysis_out);
+}
+
+extern "C" int arsegvid_hevc_mvdump(const char *analysis_path,
+                                    const char *out_dir) {
+  return analysis_mv_maps(
+      analysis_path, [&](int poc, int w, int h, const int16_t *map) -> int {
+        if (poc == 0) return 0; /* keyframe has no MVs */
+        std::string p = join_path(out_dir, "test_%03d.bin", poc);
+        FILE *fp = std::fopen(p.c_str(), "wb");
+        if (!fp) return fail("cannot write " + p);
+        std::fwrite(map, sizeof(int16_t), (size_t)w * h * 3, fp);
+        std::fclose(fp);
+        return 0;
+      });
+}
+
+extern "C" int arsegvid_hevc_analysis_mvs_cb(const char *analysis_path,
+                                             arsegvid_mv_cb cb, void *user) {
+  return analysis_mv_maps(
+      analysis_path, [&](int poc, int w, int h, const int16_t *map) -> int {
+        return cb(user, poc, w, h, map);
+      });
 }
 
 extern "C" int arsegvid_decode_frames_cb(const char *bitstream_path,
@@ -528,17 +781,27 @@ extern "C" int arsegvid_merge_mv_mt(const int16_t *bins, int n_frames, int h,
   return 0;
 }
 
-extern "C" int arsegvid_gop_pipeline(const char *const *image_paths,
-                                     int n_frames, const char *out_dir,
-                                     int fps, int bitrate_kbps, int gop,
-                                     int merge_upto) {
+extern "C" int arsegvid_gop_pipeline2(const char *const *image_paths,
+                                      int n_frames, const char *out_dir,
+                                      int fps, int bitrate_kbps, int gop,
+                                      int merge_upto, int mv_source) {
   std::string hevc = join_path(out_dir, "proxy_%d.hevc", bitrate_kbps);
-  int ret = arsegvid_encode(image_paths, n_frames, hevc.c_str(), "libx265",
-                            fps, bitrate_kbps, gop);
+  bool hevc_mvs = mv_source == ARSEGVID_MV_HEVC;
+  std::string analysis = hevc + ".analysis";
+  int ret = encode_impl(image_paths, n_frames, hevc.c_str(), "libx265", fps,
+                        bitrate_kbps, gop,
+                        hevc_mvs && merge_upto > 0 ? analysis.c_str()
+                                                   : nullptr);
   if (ret < 0) return ret;
   if ((ret = arsegvid_decode(hevc.c_str(), out_dir)) < 0) return ret;
 
-  if (merge_upto > 0) {
+  if (merge_upto > 0 && hevc_mvs) {
+    /* MVs straight from the HEVC encode's own analysis dump — the
+     * bitstream's actual motion field, no carrier re-encode at all */
+    int n_dec = arsegvid_hevc_mvdump(analysis.c_str(), out_dir);
+    if (n_dec < 0) return n_dec;
+    if (merge_upto >= n_dec) return fail("merge_upto beyond encoded frames");
+  } else if (merge_upto > 0) {
     std::string h264 = join_path(out_dir, "proxy_%d.264", bitrate_kbps);
     if ((ret = arsegvid_encode(image_paths, n_frames, h264.c_str(), "libx264",
                                fps, bitrate_kbps, gop)) < 0)
@@ -546,6 +809,8 @@ extern "C" int arsegvid_gop_pipeline(const char *const *image_paths,
     int n_dec = arsegvid_mvdump(h264.c_str(), out_dir);
     if (n_dec < 0) return n_dec;
     if (merge_upto >= n_dec) return fail("merge_upto beyond decoded frames");
+  }
+  if (merge_upto > 0) {
 
     /* load bins 1..merge_upto, probe dims from the first one */
     std::string first = join_path(out_dir, "test_%03d.bin", 1);
@@ -594,6 +859,15 @@ extern "C" int arsegvid_gop_pipeline(const char *const *image_paths,
   return 0;
 }
 
+extern "C" int arsegvid_gop_pipeline(const char *const *image_paths,
+                                     int n_frames, const char *out_dir,
+                                     int fps, int bitrate_kbps, int gop,
+                                     int merge_upto) {
+  return arsegvid_gop_pipeline2(image_paths, n_frames, out_dir, fps,
+                                bitrate_kbps, gop, merge_upto,
+                                ARSEGVID_MV_CARRIER);
+}
+
 /* ---------------- CLI ---------------- */
 
 #ifdef ARSEGVID_MAIN
@@ -606,7 +880,9 @@ static int usage() {
       "  arsegvid encode <codec> <out> <fps> <kbps> <gop> <img>...\n"
       "  arsegvid decode <bitstream> <out_dir>\n"
       "  arsegvid mvdump <bitstream> <out_dir>\n"
-      "  arsegvid gop <out_dir> <fps> <kbps> <gop> <merge_upto> <img>...\n");
+      "  arsegvid hevcmvdump <analysis_file> <out_dir>\n"
+      "  arsegvid gop <out_dir> <fps> <kbps> <gop> <merge_upto> [mv=carrier|"
+      "mv=hevc] <img>...\n");
   return 2;
 }
 
@@ -622,11 +898,21 @@ int main(int argc, char **argv) {
     ret = arsegvid_decode(argv[2], argv[3]);
   } else if (cmd == "mvdump" && argc == 4) {
     ret = arsegvid_mvdump(argv[2], argv[3]);
+  } else if (cmd == "hevcmvdump" && argc == 4) {
+    ret = arsegvid_hevc_mvdump(argv[2], argv[3]);
   } else if (cmd == "gop" && argc >= 8) {
-    ret = arsegvid_gop_pipeline((const char *const *)&argv[7], argc - 7,
-                                argv[2], std::atoi(argv[3]),
-                                std::atoi(argv[4]), std::atoi(argv[5]),
-                                std::atoi(argv[6]));
+    int first_img = 7, mv_source = ARSEGVID_MV_CARRIER;
+    if (std::strcmp(argv[7], "mv=hevc") == 0) {
+      mv_source = ARSEGVID_MV_HEVC;
+      first_img = 8;
+    } else if (std::strcmp(argv[7], "mv=carrier") == 0) {
+      first_img = 8;
+    }
+    if (argc <= first_img) return usage();
+    ret = arsegvid_gop_pipeline2(
+        (const char *const *)&argv[first_img], argc - first_img, argv[2],
+        std::atoi(argv[3]), std::atoi(argv[4]), std::atoi(argv[5]),
+        std::atoi(argv[6]), mv_source);
   } else {
     return usage();
   }

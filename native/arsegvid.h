@@ -16,12 +16,22 @@
  *   - merged MV maps: int16 [H, W, 2] qpel displacement current->keyframe
  *     (...camvid.py:6-56 `mergeMotion`).
  *
- * MV source: FFmpeg's HEVC decoder does not export motion vectors, so MVs
- * come from a parallel H.264 encode (libx264, same GOP/bitrate, ref=1,
- * bframes=0) decoded with export_mvs. The AR-Seg method is codec-agnostic
- * — it only needs the block-motion field the encoder already computed
- * (reference README.md:1-8); ref=1 pins every inter MV to the previous
- * frame, matching the merge chain's expectations.
+ * MV sources (two):
+ *   - HEVC-native (ARSEGVID_MV_HEVC): the libx265 encode itself dumps its
+ *     analysis data (x265 analysis-save, reuse level 10) — per-PU CU
+ *     quadtree, partitions, quarter-pel MVs and reference indices, i.e.
+ *     the coding decisions serialized into the HEVC bitstream, hence the
+ *     exact motion field a conformant decoder (the reference's libde265-MV
+ *     fork, .gitmodules:1-3) reconstructs. Parsed by arsegvid_hevc_mvdump /
+ *     arsegvid_hevc_analysis_mvs_cb into the same test_%03d.bin contract.
+ *     Available whenever this library does the encoding (the reference's
+ *     preprocessing also always encodes its own streams).
+ *   - H.264 carrier (ARSEGVID_MV_CARRIER): for pre-encoded HEVC inputs
+ *     whose analysis dump is unavailable, MVs come from a parallel H.264
+ *     encode (libx264, same GOP/bitrate, ref=1, bframes=0) decoded with
+ *     export_mvs (FFmpeg's HEVC decoder exports no MVs). The AR-Seg
+ *     method is codec-agnostic — it only needs the block-motion field an
+ *     encoder computed (reference README.md:1-8).
  */
 #ifndef ARSEGVID_H
 #define ARSEGVID_H
@@ -54,6 +64,22 @@ int arsegvid_decode(const char *bitstream_path, const char *out_dir);
  * Returns frame count. */
 int arsegvid_mvdump(const char *bitstream_path, const char *out_dir);
 
+/* MV source selector for the GOP pipeline. */
+#define ARSEGVID_MV_CARRIER 0
+#define ARSEGVID_MV_HEVC 1
+
+/* Encode with libx265 AND dump the encoder's analysis data (PU-level MVs,
+ * the HEVC-native MV source) to `analysis_out`. */
+int arsegvid_encode_analysis(const char *const *image_paths, int n_frames,
+                             const char *out_path, int fps, int bitrate_kbps,
+                             int gop, const char *analysis_out);
+
+/* Rasterize an x265 analysis-save file (reuse level 10, CTU 64, P-only
+ * GOPs) into per-frame `test_%03d.bin` MV maps (same contract as
+ * arsegvid_mvdump; channel 2 = refIdx, r means r+1 frames back).
+ * Returns frame count. */
+int arsegvid_hevc_mvdump(const char *analysis_path, const char *out_dir);
+
 /* In-memory decode for direct video->device serving (no PNG/bin files).
  * Callbacks receive contiguous row-major buffers owned by the decoder,
  * valid only for the duration of the call; return negative to abort.
@@ -69,6 +95,12 @@ typedef int (*arsegvid_mv_cb)(void *user, int idx, int w, int h,
                               const int16_t *mv3 /* [h, w, 3] */);
 int arsegvid_decode_mvs_cb(const char *bitstream_path, arsegvid_mv_cb cb,
                            void *user);
+
+/* Per-frame MV maps from an x265 analysis-save file (every frame;
+ * keyframes yield the all-intra map) — the HEVC-native counterpart of
+ * arsegvid_decode_mvs_cb for streams this library encoded. */
+int arsegvid_hevc_analysis_mvs_cb(const char *analysis_path,
+                                  arsegvid_mv_cb cb, void *user);
 
 /* Chain per-frame block MVs into keyframe->frame displacement fields.
  * bins: n_frames contiguous int16 [h, w, 3] maps for frames 1..n_frames
@@ -92,6 +124,14 @@ int arsegvid_merge_mv_mt(const int16_t *bins, int n_frames, int h, int w,
 int arsegvid_gop_pipeline(const char *const *image_paths, int n_frames,
                           const char *out_dir, int fps, int bitrate_kbps,
                           int gop, int merge_upto);
+
+/* As arsegvid_gop_pipeline with an explicit MV source: ARSEGVID_MV_HEVC
+ * takes the MVs from the HEVC encode's own analysis dump (written next to
+ * the bitstream as `proxy_<kbps>.hevc.analysis`; no H.264 carrier encode
+ * happens); ARSEGVID_MV_CARRIER is the legacy behavior. */
+int arsegvid_gop_pipeline2(const char *const *image_paths, int n_frames,
+                           const char *out_dir, int fps, int bitrate_kbps,
+                           int gop, int merge_upto, int mv_source);
 
 #ifdef __cplusplus
 }

@@ -117,6 +117,109 @@ def test_merge_oracle_intra_absorption():
     assert (out[2, :, :-1, 0] == 4).all()
 
 
+@pytest.fixture(scope="module")
+def gop_dir_hevc(gop_dir, tmp_path_factory):
+    """Same synthetic GOP, MV source = the HEVC encode's own analysis dump
+    (mv_source='hevc' — the reference-faithful source, no H.264 carrier)."""
+    root = tmp_path_factory.mktemp("gop_hevc")
+    paths = [str(gop_dir.parent / f"{f:03d}.png") for f in range(12)]
+    native.gop_pipeline(paths, str(root), fps=30, bitrate_kbps=2000, gop=12,
+                        merge_upto=11, mv_source="hevc")
+    return root
+
+
+@needs_native
+def test_hevc_mv_bins_layout(gop_dir_hevc):
+    """Analysis-sourced bins follow the same [H, W, 3] contract; ref codes
+    may exceed 0 (x265 medium uses up to 3 references; code r = r+1 frames
+    back), intra/boundary = -1."""
+    b = np.fromfile(gop_dir_hevc / "test_001.bin", np.int16).reshape(192, 256, 3)
+    refs = set(np.unique(b[..., 2]))
+    assert refs <= {-1, 0, 1, 2}, refs
+    # the sliding window pans right, so content moves LEFT: the match in a
+    # reference r+1 frames back sits +2*(r+1) px right -> +8*(r+1) qpel
+    inter = b[..., 2] >= 0
+    assert inter.mean() > 0.8
+    expect = 8 * (b[..., 2].astype(np.int32) + 1)
+    exact = (b[..., 0] == expect) & inter
+    assert exact.sum() / inter.sum() > 0.7
+
+
+@needs_native
+def test_hevc_merged_mv_photometric(gop_dir_hevc):
+    """The merged-map invariant of test_merged_mv_photometric must hold for
+    the HEVC-native MV source too (global -2 px/frame -> +8d qpel x)."""
+    for d in [1, 4, 11]:
+        mv = np.fromfile(
+            gop_dir_hevc / f"merged_test_{d:03d}.bin", np.int16
+        ).reshape(192, 256, 2)
+        inner = mv[16:176, 32:200]
+        assert np.mean(inner[..., 0] == 8 * d) > 0.95, f"dist {d}"
+        assert np.mean(inner[..., 1] == 0) > 0.95, f"dist {d}"
+
+
+@needs_native
+def test_hevc_analysis_sidecar_and_cb(gop_dir_hevc, tmp_path):
+    """The analysis sidecar sits next to the bitstream; the callback API
+    yields the same maps the file dump wrote (plus the all-intra keyframe),
+    and encode_analysis reproduces the encode+dump pair."""
+    analysis = gop_dir_hevc / "proxy_2000.hevc.analysis"
+    assert analysis.exists()
+    maps = {}
+    n = native.hevc_analysis_mvs_cb(str(analysis),
+                                    lambda i, a: maps.__setitem__(i, a.copy()))
+    assert n == 12 and sorted(maps) == list(range(12))
+    assert (maps[0][..., 2] == -1).all() and not maps[0][..., :2].any()
+    for f in (1, 7, 11):
+        disk = np.fromfile(
+            gop_dir_hevc / f"test_{f:03d}.bin", np.int16
+        ).reshape(192, 256, 3)
+        np.testing.assert_array_equal(maps[f], disk)
+
+
+@needs_native
+def test_hevc_mv_fidelity_vs_carrier():
+    """Geometric fidelity of the HEVC-native MVs on multi-object synthetic
+    content: median EPE vs ground truth must match the carrier's
+    pixel-exact bar (closing PARITY.md §3 — the MV field now IS the HEVC
+    stream's, so the carrier-substitution question is moot on this path)."""
+    import tempfile
+    from arseg_tpu.tools.mv_fidelity import synth_frames, measure
+
+    with tempfile.TemporaryDirectory() as d:
+        paths, gt = synth_frames(d, n=6, h=96, w=160, seed=1)
+        rows = measure(paths, gop=6, bitrate_kbps=2000, gt=gt,
+                       mv_source="hevc")
+    assert len(rows) == 5
+    for r in rows[:3]:
+        assert r["epe_p50"] <= 1.0, r
+    gains = [r["psnr_warp"] - r["psnr_nowarp"] for r in rows]
+    assert min(gains) > 3.0, rows
+
+
+@needs_native
+def test_video_source_analysis_mv_kind(gop_dir_hevc):
+    """VideoGOPSource(mv_kind='analysis') serves the same GOP geometry from
+    (hevc, analysis sidecar) with flows matching the merged bins."""
+    from arseg_tpu.gop.video_source import VideoGOPSource
+
+    src = VideoGOPSource(
+        str(gop_dir_hevc / "proxy_2000.hevc"),
+        str(gop_dir_hevc / "proxy_2000.hevc.analysis"),
+        ref_gap=12, mean=(0.5, 0.5, 0.5), std=(0.25, 0.25, 0.25),
+        native=native, mv_kind="analysis",
+    )
+    gops = list(src.iter_gops())
+    assert len(gops) == 1
+    kf, frames, fx, fy = gops[0]
+    assert kf.shape == (1, 192, 256, 3) and frames.shape == (11, 192, 256, 3)
+    assert fx.shape == (11, 192, 256)
+    # +2d px x-displacement on the interior (the merged-map invariant in px)
+    for d in (1, 11):
+        inner = fx[d - 1, 16:176, 32:200]
+        assert np.mean(inner == 2.0 * d) > 0.95, d
+
+
 def test_camvid_label_roundtrip():
     from arseg_tpu.tools.labels import CAMVID_COLORMAP, index_to_rgb, rgb_to_index
 

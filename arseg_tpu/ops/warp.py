@@ -13,9 +13,20 @@ than four per-corner row gathers at 720x960x64 on v5e (descriptor-bound).
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from arseg_tpu.ops.resize import resize_bilinear, resize_nearest
+
+# H-pass gather strategy for flow-PLANE resizes ([N, H, W] with W on the
+# lane axis): an inner-axis take on axis -2 makes XLA relayout the whole
+# [11,720,960] f32 operand to put H major (copy.445/441, 0.17 ms/GOP in the
+# round-5 profile — the last input relayouts left in the production GOP
+# program). Merging the leading dims into H makes the same take a
+# natural-layout row gather of the [N*H, W] view — identical elements,
+# identical lerp arithmetic, bitwise-equal output. Same trick as
+# ops.resize.MERGED_ROW_GATHER, scoped to the plane form whose index table
+# stays tiny (N*out_h entries). Decided by probes/r5/tools_probe_r5d.py.
 
 
 _BLK = 4  # output block edge for the blocked gather fast path
@@ -275,6 +286,28 @@ def warp_feature(feature, flow, align_corners: bool = False, method: str = "exac
                                prepadded=prepadded, t4=t4)
 
 
+FLOW_MERGED_TAKE = False
+
+
+def _lerp_h_merged(x, out_size, align_corners):
+    """H-axis linear resample of [..., H, W] via a merged-row gather (see
+    FLOW_MERGED_TAKE above). Same (i0, i1, w) table and the same
+    x0*(1-w) + x1*w expression as ops.resize._lerp_axis — bitwise-equal."""
+    from arseg_tpu.ops.resize import _linear_gather
+
+    h, w = x.shape[-2], x.shape[-1]
+    lead = x.shape[:-2]
+    n = int(np.prod(lead)) if lead else 1
+    i0, i1, wv = _linear_gather(h, out_size, align_corners)
+    xm = x.reshape(n * h, w)
+    base = np.arange(n, dtype=np.int64)[:, None] * h
+    x0 = jnp.take(xm, jnp.asarray((base + i0[None, :]).reshape(-1)), axis=0)
+    x1 = jnp.take(xm, jnp.asarray((base + i1[None, :]).reshape(-1)), axis=0)
+    wb = jnp.asarray(np.tile(wv, n)).reshape(-1, 1).astype(x.dtype)
+    y = x0 * (1 - wb) + x1 * wb
+    return y.reshape(lead + (out_size, w))
+
+
 def _resize_plane_bilinear(x, out_hw, align_corners):
     """Bilinear resize of [..., H, W] planes (W on the lane axis)."""
     from arseg_tpu.ops.resize import _lerp_axis
@@ -283,7 +316,10 @@ def _resize_plane_bilinear(x, out_hw, align_corners):
     oh, ow = int(out_hw[0]), int(out_hw[1])
     if (h, w) == (oh, ow):
         return x
-    y = _lerp_axis(x, h, oh, align_corners, x.ndim - 2)
+    if FLOW_MERGED_TAKE and h != oh and x.ndim >= 2:
+        y = _lerp_h_merged(x, oh, align_corners)
+    else:
+        y = _lerp_axis(x, h, oh, align_corners, x.ndim - 2)
     return _lerp_axis(y, w, ow, align_corners, x.ndim - 1)
 
 

@@ -162,3 +162,24 @@ def test_warp_feature_prepadded_bitwise_identical():
         prepadded=True,
     )
     np.testing.assert_array_equal(np.asarray(base), np.asarray(pre))
+
+
+def test_flow_plane_merged_take_bitwise_identical():
+    """FLOW_MERGED_TAKE resamples the flow planes' H axis via a merged-row
+    gather of the [N*H, W] view — same (i0, i1, w) table, same lerp
+    expression, so it must be bitwise-equal to the plain take path at any
+    resize ratio (upsample, downsample, non-divisible)."""
+    import arseg_tpu.ops.warp as W
+
+    rng = np.random.RandomState(11)
+    for shape, out_hw in [((3, 48, 64), (12, 16)), ((2, 10, 16), (23, 31)),
+                          ((1, 720, 96), (90, 12))]:
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32) * 40)
+        try:
+            W.FLOW_MERGED_TAKE = False
+            base = np.asarray(W._resize_plane_bilinear(x, out_hw, True))
+            W.FLOW_MERGED_TAKE = True
+            merged = np.asarray(W._resize_plane_bilinear(x, out_hw, True))
+        finally:
+            W.FLOW_MERGED_TAKE = False
+        np.testing.assert_array_equal(base, merged)

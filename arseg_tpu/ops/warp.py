@@ -20,13 +20,17 @@ from arseg_tpu.ops.resize import resize_bilinear, resize_nearest
 
 # H-pass gather strategy for flow-PLANE resizes ([N, H, W] with W on the
 # lane axis): an inner-axis take on axis -2 makes XLA relayout the whole
-# [11,720,960] f32 operand to put H major (copy.445/441, 0.17 ms/GOP in the
-# round-5 profile — the last input relayouts left in the production GOP
-# program). Merging the leading dims into H makes the same take a
-# natural-layout row gather of the [N*H, W] view — identical elements,
-# identical lerp arithmetic, bitwise-equal output. Same trick as
+# [11,720,960] f32 operand to put H major (copy.445/441 in the round-5
+# profile — the last input relayouts left in the production GOP program).
+# Merging the leading dims into H makes the same take a natural-layout row
+# gather of the [N*H, W] view — identical elements, identical lerp
+# arithmetic, bitwise-equal output. Same trick as
 # ops.resize.MERGED_ROW_GATHER, scoped to the plane form whose index table
-# stays tiny (N*out_h entries). Decided by probes/r5/tools_probe_r5d.py.
+# stays tiny (N*out_h entries). Default ON per probes/r5/tools_probe_r5d.py
+# (bench_logs/r5queue_r5d.log): -0.56 ms/GOP on the production camvid-bise18
+# AR program, agreement 1.000000; composes with bf16-staged frames to
+# -0.80. Bitwise unit test: tests/test_warp.py::
+# test_flow_plane_merged_take_bitwise_identical.
 
 
 _BLK = 4  # output block edge for the blocked gather fast path
@@ -286,7 +290,7 @@ def warp_feature(feature, flow, align_corners: bool = False, method: str = "exac
                                prepadded=prepadded, t4=t4)
 
 
-FLOW_MERGED_TAKE = False
+FLOW_MERGED_TAKE = True
 
 
 def _lerp_h_merged(x, out_size, align_corners):

@@ -22,13 +22,20 @@ config a TPU deployment would choose:
     kernel quality (full design-space measurement: PERF.md round-2 notes).
     It is reported in `extra` for transparency, not hidden.
 
-vs_baseline keeps the round-consistent definition — AR GOP program vs HR
-processing frames sequentially (the reference's own serving semantics:
+vs_baseline keeps the round-consistent semantics — AR GOP program vs HR
+processing frames sequentially (the reference's own serving style:
 `evaluation.py` runs batch-1 frame-by-frame, and a live 30 fps stream
-cannot batch without trading latency). Because an *offline* HR baseline can
-batch, `extra.batch_matched` also reports the arms-race-honest pairings at
-equal frames-in-flight (GOP-12 vs batched-HR-12; 96-frame multi-GOP AR vs
-96-frame HR) — full curve and analysis in PERF.md "batching arms race".
+cannot batch without trading latency). Round 5 moves BOTH sides to clip
+timing (CLIP_GOPS sequential GOPs per host dispatch, per-GOP/per-frame
+programs unchanged and bitwise-identical): the round-5 profile showed the
+single-dispatch numbers charged ~3.5 ms/GOP of dev-tunnel RPC — 26% of
+the AR program's 10.1 ms device time vs 18% of HR's — to the chip; a
+production host dispatches over PCIe at ~10s of us. The old per-dispatch
+numbers stay in `extra.dispatch_mode`. Because an *offline* HR baseline
+can batch, `extra.batch_matched` also reports the arms-race-honest
+pairings at equal frames-in-flight (GOP-12 vs batched-HR-12; 96-frame
+multi-GOP AR vs 96-frame HR) — full curve and analysis in PERF.md
+"batching arms race".
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
@@ -142,6 +149,17 @@ def _session_speed():
     return round(2 * n**3 / t / 1e12, 1)
 
 
+# Clip length for serving-mode timing: K GOPs (K*GOP frames) per host
+# dispatch for BOTH sides, sequential per-GOP/per-frame programs unchanged
+# (ARPipeline.scan_step lax.maps the exact single-GOP program; the HR side
+# lax.maps its per-frame program over K*GOP frames). This amortizes the
+# dev-tunnel harness's ~3.5 ms/dispatch host RPC (round-5 profile: 10.1 ms
+# device vs 13.6 ms wall per single-GOP dispatch) that a production host
+# (PCIe, ~10s of us/dispatch) does not pay. Exactness: scan rows ==
+# single-GOP program bitwise (tests/test_gop_pipeline.py + probe r5c).
+CLIP_GOPS = 8
+
+
 def bench_config(name):
     from arseg_tpu.models import build_model
     from arseg_tpu.gop import ARPipeline
@@ -152,9 +170,18 @@ def bench_config(name):
     hr_params = hr_model.init(jax.random.PRNGKey(0))
     lr_params = lr_model.init(jax.random.PRNGKey(1))
 
+    dtype = jnp.dtype(DTYPE)
     rng = np.random.RandomState(0)
-    keyframe = jnp.asarray(rng.randn(1, H, W, 3).astype(np.float32))
-    frames = jnp.asarray(rng.randn(GOP - 1, H, W, 3).astype(np.float32))
+    # frames staged in the serving dtype (bf16): identical values to the
+    # f32-staged + CAST_IN_RESIZE path (the cast is the first elementwise
+    # op either way — bitwise, probe r5d agreement 1.0) without the
+    # in-program convert+relayout chain (~0.37 ms/GOP, round-5 profile).
+    # Production feeds raw uint8 + on-device normalize; this is the
+    # already-normalized serving contract. Flows stay f32 (index math).
+    keyframe = jnp.asarray(rng.randn(1, H, W, 3).astype(np.float32)).astype(dtype)
+    frames = jnp.asarray(
+        rng.randn(GOP - 1, H, W, 3).astype(np.float32)
+    ).astype(dtype)
     # flows as (fx, fy) host-split planes — the serving layout (a packed
     # [..., 2] array costs a ~3.7 ms/frame lane relayout on device)
     flows_np = rng.uniform(-16, 16, (GOP - 1, H, W, 2)).astype(np.float32)
@@ -163,7 +190,6 @@ def bench_config(name):
         jnp.asarray(np.ascontiguousarray(flows_np[..., 1])),
     )
 
-    dtype = jnp.dtype(DTYPE)
     # serving keeps params RESIDENT in bf16 — pre-cast once outside the
     # timed loop for both sides (previously the AR side re-cast its param
     # tree on device every GOP while the HR baseline got pre-cast params)
@@ -173,14 +199,28 @@ def bench_config(name):
     lr_params_t = cast_f32(lr_params, dtype)
 
     pipe = ARPipeline(hr_model, lr_model, scale=SCALE, dtype=dtype, lr_chunk=LR_CHUNK)
-    ar_time = _time(
+    ar_time_1 = _time(
         pipe, hr_params_t, lr_params_t, keyframe, frames, flows, label=f"{name}_ar"
     )
+
+    # clip (serving) mode: CLIP_GOPS sequential GOPs per dispatch
+    K = CLIP_GOPS
+    scan = pipe.scan_step()
+    kfs = jnp.asarray(rng.randn(K, H, W, 3).astype(np.float32)).astype(dtype)
+    frs = jnp.asarray(
+        rng.randn(K, GOP - 1, H, W, 3).astype(np.float32)
+    ).astype(dtype)
+    fxs = jnp.asarray(rng.uniform(-16, 16, (K, GOP - 1, H, W)).astype(np.float32))
+    fys = jnp.asarray(rng.uniform(-16, 16, (K, GOP - 1, H, W)).astype(np.float32))
+    ar_time = _time(scan, hr_params_t, lr_params_t, kfs, frs, fxs, fys,
+                    label=f"{name}_ar_clip") / K
+    del kfs, frs, fxs, fys
     ar_fps = GOP / ar_time
 
-    # HR-on-every-frame baseline on the same chip at the same dtype (lax.map
-    # chunks bound the full-res decoder activations the same way the AR
-    # pipeline does)
+    # HR-on-every-frame baseline on the same chip at the same dtype and the
+    # same frames-per-dispatch (lax.map chunk=1 keeps the reference's
+    # frame-sequential serving semantics and bounds the full-res decoder
+    # activations the same way the AR pipeline does)
 
     @jax.jit
     def hr_all(params, batch):
@@ -192,9 +232,19 @@ def bench_config(name):
         return jax.lax.map(chunk, batch.reshape(-1, 1, H, W, 3))
 
     all_frames = jnp.concatenate([keyframe, frames], axis=0)
-    hr_time = _time(hr_all, hr_params_t, all_frames, label=f"{name}_hr")
+    hr_time_1 = _time(hr_all, hr_params_t, all_frames, label=f"{name}_hr")
+    clip_frames = jnp.asarray(
+        rng.randn(K * GOP, H, W, 3).astype(np.float32)
+    ).astype(dtype)
+    hr_time = _time(hr_all, hr_params_t, clip_frames,
+                    label=f"{name}_hr_clip") / K
+    del clip_frames
     hr_fps = GOP / hr_time
-    return ar_fps, hr_fps
+    return ar_fps, hr_fps, {
+        "ar_fps_per_dispatch": round(GOP / ar_time_1, 2),
+        "hr_fps_per_dispatch": round(GOP / hr_time_1, 2),
+        "vs_baseline_per_dispatch": round(hr_time_1 / ar_time_1, 3),
+    }
 
 
 def bench_psp18_v2(hr_fps):
@@ -302,8 +352,13 @@ def main():
         session_tflops = None
     # primary config first; the transparency arms must not be able to cost
     # us the headline number if the tunnel flakes mid-run
-    bise_ar, bise_hr = bench_config("camvid-bise18")
-    extra = {"bise18_hr_everyframe_fps": round(bise_hr, 2)}
+    bise_ar, bise_hr, bise_disp = bench_config("camvid-bise18")
+    extra = {"bise18_hr_everyframe_fps": round(bise_hr, 2),
+             # single-GOP-per-dispatch numbers (the round<=4 definition;
+             # includes ~3.5 ms/dispatch of dev-tunnel RPC on this harness
+             # that production serving doesn't pay — round-5 profile)
+             "dispatch_mode": bise_disp,
+             "clip_gops_per_dispatch": CLIP_GOPS}
     # The denominator is THIS framework's own HR implementation and it keeps
     # improving: round-4 layout fixes (slice-form s2d stem, resize gather
     # defaults) sped the per-frame HR program ~45% (311 -> ~450 fps), and the
@@ -321,13 +376,14 @@ def main():
     extra["analytic_flop_ratio"] = 2.70
     if session_tflops is not None:
         extra["session_matmul_tflops"] = session_tflops
-    extra["bise18_ar_spread"] = _spread("camvid-bise18_ar", GOP)
+    extra["bise18_ar_spread"] = _spread("camvid-bise18_ar_clip", CLIP_GOPS * GOP)
     try:
-        psp_ar, psp_hr = bench_config("camvid-psp18")
+        psp_ar, psp_hr, psp_disp = bench_config("camvid-psp18")
         extra.update(
             psp18_ar_fps=round(psp_ar, 2),
             psp18_vs_baseline=round(psp_ar / psp_hr, 3),
             psp18_hr_everyframe_fps=round(psp_hr, 2),
+            psp18_dispatch_mode=psp_disp,
         )
     except Exception as e:  # noqa: BLE001 — report, don't die
         extra["psp18_error"] = f"{type(e).__name__}: {e}"[:200]

@@ -199,6 +199,12 @@ STEM_S2D4_BLOCKS = True
 # and combining it with this flag interferes: +0.25 vs base.)
 S2D4_POOL_D2S_BATCH = True
 
+# Batched-stem pool via the HALF-d2s separable form (see
+# max_pool_3x3_s2_p1_blocks_half) instead of full d2s + reduce_window.
+# Takes precedence over S2D4_POOL_D2S_BATCH at n>1 when True. Decided by
+# probes/r5/tools_probe_r5e.py.
+S2D4_POOL_HALF_D2S_BATCH = False
+
 
 def stem_s2d4_enabled(ctx):
     return STEM_S2D4_BLOCKS and not (ctx is not None and ctx.train)
@@ -295,6 +301,28 @@ def max_pool_3x3_s2_p1_blocks(b):
     m = [jnp.maximum(jnp.maximum(_shift_m1(B[1][px], 1, ninf), B[0][px]),
                      B[1][px]) for px in range(2)]
     return jnp.maximum(jnp.maximum(_shift_m1(m[1], 2, ninf), m[0]), m[1])
+
+
+def max_pool_3x3_s2_p1_blocks_half(b):
+    """torch MaxPool2d(3, s=2, p=1) on a block-form stem output via a
+    HALF depth-to-space: only the row parity is unblocked (a 128-lane-
+    aligned channel split — py0 = lanes 0:128, py1 = 128:256 — then an
+    untiled-axis interleave), the H window runs as a plain reduce_window
+    on [n, 2Hq, Wq, 128], and the column parity is resolved at the 4x
+    smaller pooled tensor by the shift-max form. Bitwise-equal to
+    max_pool_3x3_s2_p1(d2s_blocks(b)) (pure max reassociation); avoids
+    the full d2s's [n,Hq,2,Wq,2,O] W-interleave transpose (0.525 ms/GOP
+    on the round-5 profile of the camvid-bise18 LR batch)."""
+    n, hq, wq, c4 = b.shape
+    o = c4 // 4
+    z = jnp.stack([b[..., : 2 * o], b[..., 2 * o :]], axis=2)
+    z = z.reshape(n, hq * 2, wq, 2 * o)
+    m = jax.lax.reduce_window(
+        z, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 3, 1, 1), window_strides=(1, 2, 1, 1),
+        padding=((0, 0), (1, 1), (0, 0), (0, 0)))
+    m0, m1 = m[..., :o], m[..., o:]
+    return jnp.maximum(jnp.maximum(_shift_m1(m1, 2, -jnp.inf), m0), m1)
 
 
 def d2s_blocks(b):

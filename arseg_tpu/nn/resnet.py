@@ -148,6 +148,10 @@ def resnet_stem(p, x, ctx, path=""):
         # STEM_S2D4_BLOCKS — same math, 4x the MXU contraction depth)
         b = Fn.conv_stem_s2d4_blocks(p["conv1"], x)
         b = Fn.relu(Fn.batch_norm(Fn.tile_bn4(p["bn1"]), b, ctx, path + "bn1"))
+        if Fn.S2D4_POOL_HALF_D2S_BATCH and b.shape[0] > 1:
+            # half d2s: only the row parity unblocks (128-aligned lane
+            # split), W parity resolves at the pooled tensor (bitwise)
+            return Fn.max_pool_3x3_s2_p1_blocks_half(b)
         if Fn.S2D4_POOL_D2S_BATCH and b.shape[0] > 1:
             # r4m profile: at batch>1 LR shapes the parity-max chain costs
             # ~0.52 ms vs reduce_window's 0.25 — unblock + pool instead

@@ -106,6 +106,34 @@ def test_pool_d2s_batch_flag_bitwise_identical():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_pool_half_d2s_bitwise_identical():
+    """The half-d2s pool (row parity unblocked on a 128-aligned lane split,
+    W parity resolved post-pool) computes the same max set — bitwise equal
+    to both the full-d2s and the parity-chain forms, at the functional and
+    the model level."""
+    rng = np.random.RandomState(5)
+    b = jnp.asarray(rng.randn(3, 8, 12, 4 * 16).astype(np.float32))
+    ref = Fn.max_pool_3x3_s2_p1(Fn.d2s_blocks(b))
+    half = Fn.max_pool_3x3_s2_p1_blocks_half(b)
+    np.testing.assert_array_equal(np.asarray(half), np.asarray(ref))
+
+    from arseg_tpu.models import build_model
+
+    model = build_model("camvid-bise18", fuse=False)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.randn(3, 64, 96, 3).astype(np.float32))
+    saved = (Fn.STEM_S2D4_BLOCKS, Fn.S2D4_POOL_HALF_D2S_BATCH)
+    try:
+        Fn.STEM_S2D4_BLOCKS = True
+        Fn.S2D4_POOL_HALF_D2S_BATCH = False
+        want = model.apply(params, x)[0]
+        Fn.S2D4_POOL_HALF_D2S_BATCH = True
+        got = model.apply(params, x)[0]
+    finally:
+        Fn.STEM_S2D4_BLOCKS, Fn.S2D4_POOL_HALF_D2S_BATCH = saved
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_train_ctx_keeps_s2d2_path():
     ctx = Fn.Ctx(train=True, rng=jax.random.PRNGKey(0))
     saved = Fn.STEM_S2D4_BLOCKS

@@ -201,9 +201,11 @@ S2D4_POOL_D2S_BATCH = True
 
 # Batched-stem pool via the HALF-d2s separable form (see
 # max_pool_3x3_s2_p1_blocks_half) instead of full d2s + reduce_window.
-# Takes precedence over S2D4_POOL_D2S_BATCH at n>1 when True. Decided by
-# probes/r5/tools_probe_r5e.py.
-S2D4_POOL_HALF_D2S_BATCH = False
+# Takes precedence over S2D4_POOL_D2S_BATCH at n>1 when True. Default ON:
+# probes/r5/tools_probe_r5e.py -0.30 ms/GOP and r5f twice (-0.12/-0.33) on
+# the production AR program, bitwise agreement 1.0 + equal checksums
+# (bench_logs/r5queue_r5e.log, r5f logs).
+S2D4_POOL_HALF_D2S_BATCH = True
 
 
 def stem_s2d4_enabled(ctx):

@@ -57,6 +57,14 @@ def _pick_th(h, th):
     ov = int(os.environ.get("ARSEG_CREFF_TH", "0"))
     if ov and h % ov == 0:
         return ov
+    if h % th and h % 18 == 0:
+        # th=18 supersedes 30 for non-16-divisible heights (the bise18/
+        # psp18-V2 fusion shapes, h=90): production A/B r5f measured
+        # pool-half+th18 faster than pool-half+th30 in BOTH sessions
+        # (12.19 vs 12.55 and 12.29 vs 12.46 ms/GOP, equal checksums;
+        # bench_logs/r5queue_r5f*.log) and the isolated kernel sweep
+        # ranked th18 first (r5e, max|d|=0 vs th30).
+        return 18
     if h % th and h % 30 == 0:
         return 30
     return th

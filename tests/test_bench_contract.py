@@ -12,12 +12,21 @@ import bench
 
 @pytest.fixture()
 def stubbed(monkeypatch):
+    disp = {"ar_fps_per_dispatch": 400.0, "hr_fps_per_dispatch": 220.0,
+            "vs_baseline_per_dispatch": 1.818}
     def fake_config(name):
-        return {"camvid-bise18": (480.0, 240.0), "camvid-psp18": (50.0, 100.0)}[name]
+        return {"camvid-bise18": (480.0, 240.0, disp),
+                "camvid-psp18": (50.0, 100.0, disp)}[name]
 
     monkeypatch.setattr(bench, "bench_config", fake_config)
     monkeypatch.setattr(
         bench, "bench_batch_matched", lambda: {"hr_gop_batched_fps": 320.0}
+    )
+    # the session anchor is a real 4096^3 matmul and the psp18-V2 arm runs
+    # the real pipeline — minutes on a 1-core CPU; stub both
+    monkeypatch.setattr(bench, "_session_speed", lambda: 55.0)
+    monkeypatch.setattr(
+        bench, "bench_psp18_v2", lambda hr: {"ar_fps": 120.0, "vs_baseline": 1.2}
     )
 
 
@@ -41,7 +50,7 @@ def test_extra_arm_failure_keeps_primary(stubbed, capsys, monkeypatch):
     def boom(name):
         if name == "camvid-psp18":
             raise RuntimeError("tunnel flaked")
-        return (480.0, 240.0)
+        return (480.0, 240.0, {"vs_baseline_per_dispatch": 1.818})
 
     monkeypatch.setattr(bench, "bench_config", boom)
     monkeypatch.setattr(

@@ -5,8 +5,10 @@ checkpoints, no TPU needed.
 
 Walks the whole serving journey a reference user would take:
   1. build the native video runtime (make -C native),
-  2. synthesize a 2-GOP 96x128 clip and encode it with the AR-Seg
-     protocol's two streams (HEVC for frames, H.264 MV carrier),
+  2. synthesize a 2-GOP 96x128 clip and encode it to HEVC with the
+     analysis sidecar (the encoder's own per-PU motion vectors — the
+     HEVC-native MV source; an H.264 carrier remains the fallback for
+     pre-encoded foreign streams),
   3. initialize HR + AR(fuse) camvid-bise18 models and save checkpoints
      (real deployments convert the released .pth via `arseg-convert`),
   4. serve STRAIGHT from the compressed streams (`--video`) — in-process
@@ -57,10 +59,14 @@ for i in range(N):
     Image.fromarray(canvas[:, 2 * i : 2 * i + W]).save(p)
     paths.append(p)
 hevc = os.path.join(workdir, "clip.hevc")
-carrier = os.path.join(workdir, "clip.264")
-native.encode(paths, hevc, codec="libx265", gop=GAP, bitrate_kbps=2000)
-native.encode(paths, carrier, codec="libx264", gop=GAP, bitrate_kbps=2000)
-print(f"[2/5] encoded {N} frames -> {hevc} + MV carrier")
+analysis = hevc + ".analysis"
+# HEVC-native MVs: the encode dumps its own analysis data (per-PU MVs —
+# the bitstream's actual motion field); no carrier stream needed. For
+# pre-encoded video of foreign provenance, encode a carrier instead:
+#   native.encode(paths, "clip.264", codec="libx264", gop=GAP, ...)
+# and serve with --mv_carrier clip.264.
+native.encode_analysis(paths, hevc, analysis, gop=GAP, bitrate_kbps=2000)
+print(f"[2/5] encoded {N} frames -> {hevc} + analysis sidecar (HEVC MVs)")
 
 # -- 3: models + checkpoints ------------------------------------------------
 from arseg_tpu.models import build_model  # noqa: E402
@@ -80,7 +86,7 @@ from arseg_tpu.cli.infer_video import main as infer_main  # noqa: E402
 
 out_dir = os.path.join(workdir, "out")
 infer_main([
-    "--video", hevc, "--mv_carrier", carrier, "--out_dir", out_dir,
+    "--video", hevc, "--mv_analysis", analysis, "--out_dir", out_dir,
     "--hr_snapshot", hr_ckpt, "--ar_snapshot", ar_ckpt,
     "--backend", "camvid-bise18", "--ref_gap", str(GAP),
     "--dtype", "float32", "--colorize",

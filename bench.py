@@ -276,6 +276,41 @@ def bench_psp18_v2(hr_fps):
     }
 
 
+def bench_scale_dial(hr_fps):
+    """AR clip throughput at the reference's other released LR scales
+    (CamVid checkpoints ship for 0.3x-0.9x; the accuracy side of the dial
+    is the paper's own scale ablation). Same clip protocol as the primary;
+    the HR denominator is scale-independent. Measured r5h: 0.3x clears 2x
+    against the fully-optimized HR baseline (2.29), 0.5x = the headline,
+    0.7x ~ parity."""
+    from arseg_tpu.models import build_model
+    from arseg_tpu.gop import ARPipeline
+    from arseg_tpu.utils.tree import cast_f32
+
+    dtype = jnp.dtype(DTYPE)
+    hr_model = build_model("camvid-bise18", fuse=False)
+    lr_model = build_model("camvid-bise18", fuse=True)
+    hr_params = cast_f32(hr_model.init(jax.random.PRNGKey(0)), dtype)
+    lr_params = cast_f32(lr_model.init(jax.random.PRNGKey(1)), dtype)
+    rng = np.random.RandomState(0)
+    K = CLIP_GOPS
+    kfs = jnp.asarray(rng.randn(K, H, W, 3).astype(np.float32)).astype(dtype)
+    frs = jnp.asarray(
+        rng.randn(K, GOP - 1, H, W, 3).astype(np.float32)
+    ).astype(dtype)
+    fxs = jnp.asarray(rng.uniform(-16, 16, (K, GOP - 1, H, W)).astype(np.float32))
+    fys = jnp.asarray(rng.uniform(-16, 16, (K, GOP - 1, H, W)).astype(np.float32))
+    out = {}
+    for s in (0.3, 0.7):
+        pipe = ARPipeline(hr_model, lr_model, scale=s, dtype=dtype)
+        scan = pipe.scan_step()
+        fps = (K * GOP) / _time(scan, hr_params, lr_params, kfs, frs, fxs, fys,
+                                label=f"ar_scale{s}")
+        out[f"{s}x"] = {"ar_fps": round(fps, 2),
+                        "vs_baseline": round(fps / hr_fps, 3)}
+    return out
+
+
 def bench_batch_matched():
     """Equal-frames-in-flight pairings for the headline config (PERF.md
     "batching arms race"): AR and HR each at their best program for 12 and
@@ -399,6 +434,10 @@ def main():
             extra["psp18_fusev2"] = bench_psp18_v2(psp_hr)
         except Exception as e:  # noqa: BLE001
             extra["psp18_fusev2_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        extra["scale_dial"] = bench_scale_dial(bise_hr)
+    except Exception as e:  # noqa: BLE001
+        extra["scale_dial_error"] = f"{type(e).__name__}: {e}"[:200]
     try:
         batch_matched = bench_batch_matched()
         batch_matched["vs_hr_gop_batched"] = round(

@@ -28,6 +28,10 @@ def stubbed(monkeypatch):
     monkeypatch.setattr(
         bench, "bench_psp18_v2", lambda hr: {"ar_fps": 120.0, "vs_baseline": 1.2}
     )
+    monkeypatch.setattr(
+        bench, "bench_scale_dial",
+        lambda hr: {"0.3x": {"ar_fps": 960.0, "vs_baseline": 4.0}},
+    )
 
 
 def _run(capsys):
